@@ -1,0 +1,231 @@
+"""Typed configuration system.
+
+Replaces the reference's argparse -> EasyDict mutable global singleton
+(``/root/reference/src/parsers/parser.py:9``, ``src/utils/const.py:5``) with a
+frozen dataclass tree + a method registry. CLI flag names and per-method
+defaults mirror ``src/parsers/configs/*.py`` so reference run commands
+translate 1:1; hardcoded globals (focal_length=1000, rot/noise/scale factors,
+seed, grad clip) follow ``parser.py:39-58``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- method / model
+    method: str = "hands_light"
+    backbone: str = "resnet50"
+    pos_enc: Optional[str] = "center+corner_latent"
+    n_freq_pos_enc: int = 4
+    separate_hands: bool = False
+    tf_decoder: bool = False
+    no_crops: bool = False
+    use_glb_feat: bool = True
+    use_glb_feat_w_grasp: bool = False
+    use_grasp_loss: bool = True
+    use_render_seg_loss: bool = True
+    use_depth_loss: bool = False
+    regress_center_corner: bool = False
+    no_intrx: bool = False
+
+    # --- image/camera
+    img_res: int = 224
+    img_res_ds: int = 224
+    focal_length: float = 1000.0
+    use_gt_k: bool = False
+    ego_image_scale: float = 0.3
+
+    # --- augmentation (reference parser.py:39-58)
+    rot_factor: float = 30.0
+    noise_factor: float = 0.4
+    scale_factor: float = 0.25
+    flip_prob: float = 0.0
+    img_norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    img_norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    # --- data
+    dataset: str = "hands+assembly+epic_grasp+epic_seg"
+    val_dataset: str = "epic"
+    setup: str = "p2"
+    trainsplit: str = "train"
+    valsplit: str = "minival"
+    window_size: int = 11
+    num_workers: int = 16
+    speedup: bool = True
+
+    # --- optimisation
+    lr: float = 1e-5
+    lr_dec_epoch: Tuple[int, ...] = ()
+    lr_dec_factor: float = 10.0
+    lr_decay: float = 0.1
+    num_epoch: int = 100
+    batch_size: int = 64
+    test_batch_size: int = 128
+    acc_grad: int = 1
+    grad_clip: float = 150.0
+    seed: int = 1
+
+    # --- runtime
+    eval_every_epoch: int = 5
+    log_every: int = 50
+    num_exp: int = 1
+    exp_key: str = ""
+    extraction_mode: str = ""
+    mute: bool = False
+    no_vis: bool = False
+    cluster: bool = False
+    fast_dev_run: bool = False
+    debug: bool = False
+    logger: str = "tensorboard"
+
+    # --- checkpoints
+    load_ckpt: str = ""
+    resume_ckpt: str = ""
+    infer_ckpt: str = ""
+    load_from: str = ""
+
+    # --- TPU-native knobs (no reference equivalent)
+    compute_dtype: str = "bfloat16"  # backbone matmul dtype
+    mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+
+    def get(self, key, default=None):
+        """EasyDict-compatible accessor used by code ported from args.get()."""
+        return getattr(self, key, default)
+
+    def replace(self, **kw) -> "Config":
+        return replace(self, **kw)
+
+
+# ------------------------------------------------------------- method configs
+# Defaults per method, mirroring src/parsers/configs/{hands,arctic,hamer,
+# handoccnet}_light.py.
+_METHOD_DEFAULTS = {
+    "hands_light": dict(
+        backbone="resnet50",
+        pos_enc="center+corner_latent",
+        n_freq_pos_enc=4,
+        img_res=224,
+        dataset="hands+assembly+epic_grasp+epic_seg",
+        val_dataset="epic",
+        use_glb_feat=True,
+        use_grasp_loss=True,
+        use_render_seg_loss=True,
+        use_depth_loss=False,
+        no_intrx=False,
+    ),
+    "arctic_sf_light": dict(
+        backbone="resnet50",
+        pos_enc=None,
+        img_res=224,
+        dataset="arctic",
+        val_dataset="arctic",
+        use_glb_feat=False,
+        use_grasp_loss=False,
+        use_render_seg_loss=False,
+    ),
+    "hamer_light": dict(
+        backbone="vit_h",
+        pos_enc="center+corner_latent",
+        n_freq_pos_enc=4,
+        img_res=224,
+        dataset="hands",
+        val_dataset="epic",
+        use_glb_feat=False,
+        use_grasp_loss=False,
+        use_render_seg_loss=False,
+    ),
+    "handoccnet_light": dict(
+        backbone="fpn",
+        pos_enc="center+corner_latent",
+        n_freq_pos_enc=4,
+        img_res=224,
+        dataset="assembly",
+        val_dataset="assembly",
+        use_glb_feat=False,
+        use_grasp_loss=False,
+        use_render_seg_loss=False,
+    ),
+}
+
+
+def default_config(method: str = "hands_light", **overrides) -> Config:
+    if method not in _METHOD_DEFAULTS:
+        raise KeyError(
+            f"unknown method '{method}'; available: {sorted(_METHOD_DEFAULTS)}"
+        )
+    kw = dict(_METHOD_DEFAULTS[method])
+    kw["method"] = method
+    kw.update(overrides)
+    return Config(**kw)
+
+
+def available_methods():
+    return sorted(_METHOD_DEFAULTS)
+
+
+# --------------------------------------------------------------- CLI parsing
+def construct_args(argv=None) -> Config:
+    """argparse front-end with reference-compatible flag names
+    (``src/parsers/generic_parser.py``)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--method", type=str, default="hands_light")
+    p.add_argument("--exp_key", type=str, default="")
+    p.add_argument("--extraction_mode", type=str, default="")
+    p.add_argument("--load_ckpt", type=str, default="")
+    p.add_argument("--resume_ckpt", type=str, default="")
+    p.add_argument("--infer_ckpt", type=str, default="")
+    p.add_argument("--load_from", type=str, default="")
+    p.add_argument("--trainsplit", type=str, default="train",
+                   choices=["train", "smalltrain", "minitrain", "tinytrain"])
+    p.add_argument("--valsplit", type=str, default="minival",
+                   choices=["val", "smallval", "minival", "tinyval"])
+    p.add_argument("--setup", type=str, default="p2")
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--eval_every_epoch", type=int, default=5)
+    p.add_argument("--lr_dec_epoch", type=int, nargs="+", default=[])
+    p.add_argument("--num_epoch", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr_dec_factor", type=float, default=10.0)
+    p.add_argument("--lr_decay", type=float, default=0.1)
+    p.add_argument("--num_exp", type=int, default=1)
+    p.add_argument("--acc_grad", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--test_batch_size", type=int, default=None)
+    p.add_argument("--num_workers", type=int, default=16)
+    p.add_argument("--eval_on", type=str, default="")
+    p.add_argument("--mute", action="store_true")
+    p.add_argument("--no_vis", action="store_true")
+    p.add_argument("--cluster", action="store_true")
+    p.add_argument("-f", "--fast_dev_run", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    args = p.parse_args(argv)
+
+    overrides = {}
+    for f_ in dataclasses.fields(Config):
+        if hasattr(args, f_.name):
+            v = getattr(args, f_.name)
+            if v is None:
+                continue
+            if f_.name == "lr_dec_epoch":
+                v = tuple(v)
+            overrides[f_.name] = v
+
+    cfg = default_config(args.method, **overrides)
+    if args.debug:
+        cfg = cfg.replace(
+            batch_size=1, num_workers=0, trainsplit="minitrain", valsplit="minival"
+        )
+    elif args.fast_dev_run:
+        cfg = cfg.replace(
+            batch_size=8, num_workers=0, trainsplit="minitrain", valsplit="minival",
+            log_every=5,
+        )
+    return cfg

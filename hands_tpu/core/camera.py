@@ -1,0 +1,138 @@
+"""Camera models: weak-perspective <-> perspective, projection, DLT translation.
+
+Behavioural contract follows ``/root/reference/common/camera.py`` (wp triple is
+``[s, tx, ty]`` with ``s = 2f / (res * tz)``) and
+``/root/reference/common/data_utils.py:361-419`` (kp2d normalisation and
+crop-adjusted intrinsics). Everything is batched and jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-9
+
+
+# ---------------------------------------------------------- wp <-> perspective
+def perspective_to_weak_perspective(
+    cam_t: jnp.ndarray, focal_length: jnp.ndarray, img_res: float
+) -> jnp.ndarray:
+    """Camera translation (B, 3) [tx, ty, tz] -> weak-persp (B, 3) [s, tx, ty]."""
+    tx, ty, tz = cam_t[:, 0], cam_t[:, 1], cam_t[:, 2]
+    s = 2.0 * focal_length / (img_res * tz + _EPS)
+    return jnp.stack([s, tx, ty], axis=-1)
+
+
+def weak_perspective_to_perspective(
+    wp_cam: jnp.ndarray,
+    focal_length: jnp.ndarray,
+    img_res: float,
+    min_s: float = 0.1,
+) -> jnp.ndarray:
+    """Weak-persp (B, 3) [s, tx, ty] -> camera translation (B, 3) [tx, ty, tz].
+
+    ``min_s`` clamps the scale from below so tz stays finite/positive when the
+    network predicts a degenerate scale (reference MANOHead uses min_s=0.1).
+    """
+    s = jnp.maximum(wp_cam[:, 0], min_s)
+    tz = 2.0 * focal_length / (img_res * s + _EPS)
+    return jnp.stack([wp_cam[:, 1], wp_cam[:, 2], tz], axis=-1)
+
+
+# ------------------------------------------------------------------ projection
+def project2d(K: jnp.ndarray, pts3d: jnp.ndarray) -> jnp.ndarray:
+    """Perspective projection: K (B, 3, 3) x points (B, N, 3) -> pixels (B, N, 2)."""
+    proj = jnp.einsum("bij,bnj->bni", K, pts3d)
+    return proj[..., :2] / jnp.maximum(proj[..., 2:3], _EPS)
+
+
+def normalize_kp2d(kp2d: jnp.ndarray, img_res: float) -> jnp.ndarray:
+    """Pixel coords (..., 2+) -> [-1, 1] on the first two channels."""
+    xy = 2.0 * kp2d[..., :2] / img_res - 1.0
+    return jnp.concatenate([xy, kp2d[..., 2:]], axis=-1)
+
+
+def unnormalize_kp2d(kp2d_norm: jnp.ndarray, img_res: float) -> jnp.ndarray:
+    """[-1, 1] coords (..., 2) -> pixel coords."""
+    return 0.5 * img_res * (kp2d_norm[..., :2] + 1.0)
+
+
+# ------------------------------------------------------------------ intrinsics
+def weak_perspective_intrinsics(focal_length: float, img_res: int) -> jnp.ndarray:
+    """Fixed-focal intrinsics centred on the (img_res x img_res) patch."""
+    c = img_res // 2
+    return jnp.asarray(
+        [[focal_length, 0.0, c], [0.0, focal_length, c], [0.0, 0.0, 1.0]],
+        dtype=jnp.float32,
+    )
+
+
+def crop_adjusted_intrinsics(
+    K: jnp.ndarray,
+    bbox_cx: jnp.ndarray,
+    bbox_cy: jnp.ndarray,
+    scale: jnp.ndarray,
+    img_res: int,
+) -> jnp.ndarray:
+    """Update full-image intrinsics (B, 3, 3) for a square crop of side
+    ``scale * 200`` centred at (bbox_cx, bbox_cy), resized to img_res.
+
+    fx' = k * fx ; cx' = k * (cx - x1) with k = img_res / (scale * 200)
+    (reference ``get_aug_intrix``, data_utils.py:388-419).
+    """
+    dim = scale * 200.0
+    k_scale = img_res / dim
+    fx = K[:, 0, 0] * k_scale
+    fy = K[:, 1, 1] * k_scale
+    cx = (K[:, 0, 2] - (bbox_cx - dim / 2.0)) * k_scale
+    cy = (K[:, 1, 2] - (bbox_cy - dim / 2.0)) * k_scale
+    zeros = jnp.zeros_like(fx)
+    ones = jnp.ones_like(fx)
+    row0 = jnp.stack([fx, zeros, cx], axis=-1)
+    row1 = jnp.stack([zeros, fy, cy], axis=-1)
+    row2 = jnp.stack([zeros, zeros, ones], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+# ------------------------------------------------------- DLT translation solve
+def estimate_translation(
+    S: jnp.ndarray,
+    joints_2d: jnp.ndarray,
+    joints_conf: jnp.ndarray,
+    focal_length: jnp.ndarray,
+    img_size: jnp.ndarray,
+) -> jnp.ndarray:
+    """Least-squares camera translation aligning 3D joints to 2D detections.
+
+    Batched closed-form DLT (reference ``estimate_translation_np``,
+    camera.py:79): solve ``A t = b`` with per-joint confidence weights.
+
+    S: (B, N, 3), joints_2d: (B, N, 2), joints_conf: (B, N),
+    focal_length: (B,) or scalar, img_size: (B,) or scalar.
+    Returns (B, 3).
+    """
+    B, N, _ = S.shape
+    f = jnp.broadcast_to(jnp.asarray(focal_length, jnp.float32), (B,))
+    res = jnp.broadcast_to(jnp.asarray(img_size, jnp.float32), (B,))
+    center = res / 2.0
+
+    XY = S[..., :2]  # (B, N, 2)
+    Z = S[..., 2]  # (B, N)
+    uv = joints_2d - center[:, None, None]
+
+    w = jnp.sqrt(jnp.maximum(joints_conf, 0.0))  # (B, N)
+
+    # rows: [f, 0, -u] and [0, f, -v]; b rows: u*Z - f*X , v*Z - f*Y
+    fB = f[:, None]
+    zeros = jnp.zeros((B, N))
+    A_u = jnp.stack([jnp.broadcast_to(fB, (B, N)), zeros, -uv[..., 0]], axis=-1)
+    A_v = jnp.stack([zeros, jnp.broadcast_to(fB, (B, N)), -uv[..., 1]], axis=-1)
+    b_u = uv[..., 0] * Z - fB * XY[..., 0]
+    b_v = uv[..., 1] * Z - fB * XY[..., 1]
+
+    A = jnp.concatenate([A_u * w[..., None], A_v * w[..., None]], axis=1)  # (B,2N,3)
+    b = jnp.concatenate([b_u * w, b_v * w], axis=1)  # (B, 2N)
+
+    AtA = jnp.einsum("bni,bnj->bij", A, A)
+    Atb = jnp.einsum("bni,bn->bi", A, b)
+    return jnp.linalg.solve(AtA + 1e-8 * jnp.eye(3), Atb)

@@ -1,0 +1,206 @@
+"""Rotation representation conversions in pure JAX.
+
+Covers the conversion surface used throughout the reference
+(``/root/reference/common/rot.py`` and pytorch3d ``rotation_conversions``):
+axis-angle <-> rotation matrix <-> quaternion <-> continuous 6D. Semantics
+(quaternion real-part-first, 6D = first two rows of R, Gram-Schmidt decode)
+match the pytorch3d convention so that checkpoints/targets are interchangeable.
+
+All functions are shape-polymorphic over leading batch dims and jit-safe
+(no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+# --------------------------------------------------------------------- helpers
+def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(max(0, x)) with a subgradient of zero where x is negative."""
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def _safe_norm(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:
+    """L2 norm with finite gradient at 0 (sqrt of clamped square-sum)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, 1e-24))
+
+
+# ----------------------------------------------------------------- quaternions
+def quaternion_to_matrix(quat: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (..., 4) [w, x, y, z] -> rotation matrix (..., 3, 3)."""
+    w, x, y, z = jnp.moveaxis(quat, -1, 0)
+    two_s = 2.0 / jnp.sum(quat * quat, axis=-1)
+
+    o = jnp.stack(
+        [
+            1 - two_s * (y * y + z * z),
+            two_s * (x * y - z * w),
+            two_s * (x * z + y * w),
+            two_s * (x * y + z * w),
+            1 - two_s * (x * x + z * z),
+            two_s * (y * z - x * w),
+            two_s * (x * z - y * w),
+            two_s * (y * z + x * w),
+            1 - two_s * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return o.reshape(quat.shape[:-1] + (3, 3))
+
+
+def matrix_to_quaternion(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4), w >= 0 branch.
+
+    Uses the numerically-stable four-branch construction (same scheme as
+    pytorch3d): compute all four candidate quaternions and select the one
+    whose denominator is largest.
+    """
+    batch = matrix.shape[:-2]
+    m = matrix.reshape(batch + (9,))
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = jnp.moveaxis(m, -1, 0)
+
+    q_abs = _sqrt_positive_part(
+        jnp.stack(
+            [
+                1.0 + m00 + m11 + m22,
+                1.0 + m00 - m11 - m22,
+                1.0 - m00 + m11 - m22,
+                1.0 - m00 - m11 + m22,
+            ],
+            axis=-1,
+        )
+    )
+
+    quat_by_rijk = jnp.stack(
+        [
+            jnp.stack([q_abs[..., 0] ** 2, m21 - m12, m02 - m20, m10 - m01], axis=-1),
+            jnp.stack([m21 - m12, q_abs[..., 1] ** 2, m10 + m01, m02 + m20], axis=-1),
+            jnp.stack([m02 - m20, m10 + m01, q_abs[..., 2] ** 2, m12 + m21], axis=-1),
+            jnp.stack([m10 - m01, m20 + m02, m21 + m12, q_abs[..., 3] ** 2], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    flr = 0.1
+    quat_candidates = quat_by_rijk / (
+        2.0 * jnp.maximum(q_abs[..., None], flr * jnp.ones_like(q_abs[..., None]))
+    )
+
+    best = jnp.argmax(q_abs, axis=-1)
+    quat = jnp.take_along_axis(
+        quat_candidates, best[..., None, None].repeat(4, axis=-1), axis=-2
+    )[..., 0, :]
+    return quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+
+
+# ------------------------------------------------------------------ axis-angle
+def axis_angle_to_quaternion(aa: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> quaternion (..., 4) [w, x, y, z]."""
+    angle = _safe_norm(aa)
+    half = angle * 0.5
+    # sin(half)/angle with a Taylor fallback near zero for stable gradients
+    small = angle < 1e-6
+    sin_half_over_angle = jnp.where(
+        small, 0.5 - (angle * angle) / 48.0, jnp.sin(half) / jnp.maximum(angle, _EPS)
+    )
+    return jnp.concatenate([jnp.cos(half), aa * sin_half_over_angle], axis=-1)
+
+
+def quaternion_to_axis_angle(quat: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (..., 4) [w, x, y, z] -> axis-angle (..., 3)."""
+    norms = _safe_norm(quat[..., 1:])
+    half_angles = jnp.arctan2(norms, quat[..., :1])
+    angles = 2.0 * half_angles
+    small = jnp.abs(angles) < 1e-6
+    # sin(half)/angle, Taylor-expanded near zero for stable values and grads
+    sin_half_over_angle = jnp.where(
+        small,
+        0.5 - (angles * angles) / 48.0,
+        jnp.sin(half_angles) / jnp.where(small, 1.0, angles),
+    )
+    return quat[..., 1:] / sin_half_over_angle
+
+
+def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) (Rodrigues)."""
+    return quaternion_to_matrix(axis_angle_to_quaternion(aa))
+
+
+def matrix_to_axis_angle(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3)."""
+    return quaternion_to_axis_angle(matrix_to_quaternion(matrix))
+
+
+# ------------------------------------------------------------------ 6D (Zhou)
+def rot6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """Continuous 6D (..., 6) -> rotation matrix (..., 3, 3).
+
+    Gram-Schmidt on the two encoded rows; rows are stacked as the matrix rows
+    (pytorch3d ``rotation_6d_to_matrix`` convention).
+    """
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.maximum(_safe_norm(a1), _EPS)
+    a2_proj = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2_proj / jnp.maximum(_safe_norm(a2_proj), _EPS)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def matrix_to_rot6d(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> continuous 6D (..., 6) (first two rows)."""
+    return matrix[..., :2, :].reshape(matrix.shape[:-2] + (6,))
+
+
+# -------------------------------------------------------------------- euler
+def euler_angles_to_matrix(euler: jnp.ndarray, convention: str = "XYZ") -> jnp.ndarray:
+    """Euler angles (..., 3) -> rotation matrix, extrinsic composition R = Rx@Ry@Rz
+    for convention 'XYZ' (matches pytorch3d ``euler_angles_to_matrix``)."""
+
+    def _axis_rot(axis: str, angle: jnp.ndarray) -> jnp.ndarray:
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        one, zero = jnp.ones_like(angle), jnp.zeros_like(angle)
+        if axis == "X":
+            flat = [one, zero, zero, zero, c, -s, zero, s, c]
+        elif axis == "Y":
+            flat = [c, zero, s, zero, one, zero, -s, zero, c]
+        elif axis == "Z":
+            flat = [c, -s, zero, s, c, zero, zero, zero, one]
+        else:
+            raise ValueError(axis)
+        return jnp.stack(flat, axis=-1).reshape(angle.shape + (3, 3))
+
+    mats = [
+        _axis_rot(ax, euler[..., i]) for i, ax in enumerate(convention.upper())
+    ]
+    return mats[0] @ mats[1] @ mats[2]
+
+
+# ------------------------------------------------------------------- utilities
+def rot_aa(aa: jnp.ndarray, rot_deg: jnp.ndarray) -> jnp.ndarray:
+    """Rotate an axis-angle global orientation by `rot_deg` degrees about the
+    camera z-axis (augmentation semantics of ``common/data_utils.py:rot_aa``)."""
+    rad = -rot_deg * jnp.pi / 180.0
+    c, s = jnp.cos(rad), jnp.sin(rad)
+    zero, one = jnp.zeros_like(c), jnp.ones_like(c)
+    R = jnp.stack([c, -s, zero, s, c, zero, zero, zero, one], axis=-1).reshape(
+        rot_deg.shape + (3, 3)
+    )
+    per_sample = axis_angle_to_matrix(aa)
+    return matrix_to_axis_angle(R @ per_sample)
+
+
+def flip_axis_angle(aa_flat: jnp.ndarray) -> jnp.ndarray:
+    """Mirror a flattened axis-angle pose (..., 3J): negate y and z components.
+
+    Mirrors the L/R flip-swap used in the reference model
+    (``src/models/hands_light/model.py:341-368``).
+    """
+    shape = aa_flat.shape
+    aa = aa_flat.reshape(shape[:-1] + (-1, 3))
+    aa = aa * jnp.asarray([1.0, -1.0, -1.0], dtype=aa.dtype)
+    return aa.reshape(shape)

@@ -1,0 +1,110 @@
+"""Iterative HMR regression heads (Flax).
+
+Re-designs ``/root/reference/src/nets/hmr_layer.py`` and
+``src/nets/hand_heads/hand_hmr.py`` for JAX: the n_iter refinement loop is a
+statically-unrolled chain (n_iter=3) of fused MLP blocks — XLA sees one DAG,
+no Python-side state. Parameter spec: ``pose_6d`` (96), ``cam_t_wp`` (3),
+``shape`` (10); each decoder is a small linear initialised with
+xavier-uniform gain 0.01 so early iterations stay near the identity-pose
+initialisation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hands_tpu.core import rot as rotlib
+
+HAND_SPECS: Dict[str, int] = {"pose_6d": 6 * 16, "cam_t_wp": 3, "shape": 10}
+
+
+def _small_xavier(gain: float = 0.01):
+    base = nn.initializers.xavier_uniform()
+
+    def init(key, shape, dtype):
+        return base(key, shape, dtype) * gain
+
+    return init
+
+
+class HMRLayer(nn.Module):
+    """Additive iterative refinement: concat(feat, params) -> MLP -> deltas."""
+
+    feat_dim: int
+    mid_dim: int = 1024
+    specs: Tuple[Tuple[str, int], ...] = tuple(HAND_SPECS.items())
+    n_iter: int = 3
+    dropout_rate: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, init_vec: Dict[str, jnp.ndarray],
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        refine = [
+            nn.Dense(self.mid_dim, dtype=self.dtype, name="refine0"),
+            nn.Dense(self.mid_dim, dtype=self.dtype, name="refine1"),
+        ]
+        decoders = {
+            key: nn.Dense(size, kernel_init=_small_xavier(), name=f"dec_{key}")
+            for key, size in self.specs
+        }
+        dropout = nn.Dropout(self.dropout_rate, deterministic=not train)
+
+        pred = dict(init_vec)
+        for it in range(self.n_iter):
+            vec = jnp.concatenate([pred[k] for k, _ in self.specs], axis=-1)
+            xc = jnp.concatenate([feat, vec], axis=-1)
+            xc = dropout(nn.relu(refine[0](xc)))
+            xc = dropout(nn.relu(refine[1](xc)))
+            for key, _ in self.specs:
+                pred[key] = pred[key] + decoders[key](xc)
+        return pred
+
+
+class HandHMR(nn.Module):
+    """Per-hand HMR head: weak-persp cam init MLP + HMRLayer refinement.
+
+    Input is a pooled feature vector (the reference's ``use_pool=False``
+    path — WildHands feeds the ``feature_conv`` output). Returns a dict with
+    ``pose`` (B, 16, 3, 3) rotmats, ``shape`` (B, 10), ``cam_t.wp`` (B, 3)
+    and ``cam_t.wp.init`` (B, 3).
+    """
+
+    feat_dim: int
+    n_iter: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, train: bool = False):
+        B = feat.shape[0]
+
+        cam_init = nn.Sequential([
+            nn.Dense(512, dtype=self.dtype), nn.relu,
+            nn.Dense(512, dtype=self.dtype), nn.relu,
+            nn.Dense(3),
+        ])
+        init_transl = cam_init(feat)
+
+        ident6d = rotlib.matrix_to_rot6d(jnp.eye(3, dtype=jnp.float32)[None])
+        init_pose = jnp.tile(ident6d.reshape(1, 6), (B, 16)).reshape(B, 96)
+        init_vec = {
+            "pose_6d": init_pose,
+            "shape": jnp.zeros((B, 10), jnp.float32),
+            "cam_t_wp": init_transl,
+        }
+
+        pred = HMRLayer(
+            feat_dim=self.feat_dim, n_iter=self.n_iter, dtype=self.dtype,
+            name="hmr_layer",
+        )(feat, init_vec, train=train)
+
+        rotmat = rotlib.rot6d_to_matrix(pred["pose_6d"].reshape(B, 16, 6))
+        return {
+            "pose": rotmat,
+            "shape": pred["shape"],
+            "cam_t.wp": pred["cam_t_wp"],
+            "cam_t.wp.init": init_transl,
+        }

@@ -1,0 +1,35 @@
+"""Test config: run everything on an 8-device virtual CPU mesh.
+
+The axon TPU plugin registers itself from ``sitecustomize`` at interpreter
+startup and sets ``jax_platforms="axon,cpu"``. Tests need the virtual CPU
+mesh (8 devices, float32 matmuls, no tunnel latency), so before any backend
+is initialised we point the platform selection back at CPU and request 8
+host devices.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, devs
+    return devs
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
