@@ -20,8 +20,15 @@ _EPS = 1e-8
 
 # --------------------------------------------------------------------- helpers
 def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
-    """sqrt(max(0, x)) with a subgradient of zero where x is negative."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt(max(0, x)) with a zero subgradient at x <= 0.
+
+    The double-``where`` keeps the backward pass finite: a plain
+    ``sqrt(max(x, 0))`` has d/dx = inf at 0, and ``0 * inf = NaN`` poisons
+    gradients of the *unselected* quaternion branches in
+    :func:`matrix_to_quaternion` (hit for every near-identity rotation).
+    """
+    safe = jnp.where(x > 1e-12, x, 1.0)
+    return jnp.where(x > 1e-12, jnp.sqrt(safe), 0.0)
 
 
 def _safe_norm(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:

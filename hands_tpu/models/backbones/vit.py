@@ -1,0 +1,144 @@
+"""Flax ViT backbones (ViTPose-style, no class token) for HaMeR and the
+``vit_b_16`` WildHands variant.
+
+Re-designed from the reference's vendored timm/OpenMMLab ViT
+(``/root/reference/src/models/hamer_light/vit.py:12-24``: ViT-H = patch 16,
+embed 1280, depth 32, heads 16, input 256x192 -> 16x12 tokens; KPE token
+embedding added to patch tokens before the blocks). TPU-first choices:
+
+- NHWC patchify via a strided conv; tokens stay (B, N, C) with N=192 —
+  fused QKV projection, one attention einsum per block (sequence is tiny, so
+  attention is matmul-bound, which is exactly what the MXU wants),
+- bf16 compute / fp32 params + fp32 LayerNorm accumulation,
+- learned absolute position embeddings (bicubic-resized on load when the
+  checkpoint grid differs),
+- optional gradient checkpointing per block (``jax.checkpoint``) to trade
+  FLOPs for HBM on the depth-32 ViT-H.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+VIT_CONFIGS = {
+    "b16": dict(embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0),
+    "h": dict(embed_dim=1280, depth=32, num_heads=16, mlp_ratio=4.0),
+    # a small variant for tests
+    "tiny": dict(embed_dim=128, depth=2, num_heads=2, mlp_ratio=2.0),
+}
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)
+
+
+class Attention(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        scale = head_dim**-0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    num_heads: int
+    mlp_ratio: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = x + MlpBlock(int(C * self.mlp_ratio), C, dtype=self.dtype,
+                         name="mlp")(y)
+        return x
+
+
+class ViTBackbone(nn.Module):
+    """Patchify -> +pos -> [+kpe tokens] -> blocks -> LN -> spatial map.
+
+    Input: (B, H, W, 3) NHWC. Output: (B, H/16, W/16, C) feature map.
+    ``kpe_emb`` (B, N, C) is added to the patch tokens when given (HaMeR's
+    intrinsics conditioning, vit.py forward_features).
+    """
+
+    variant: str = "h"
+    patch_size: int = 16
+    dtype: Any = jnp.float32
+    use_checkpoint: bool = False
+
+    @nn.compact
+    def __call__(self, x, kpe_emb: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        cfg = VIT_CONFIGS[self.variant]
+        C = cfg["embed_dim"]
+        B, H, W, _ = x.shape
+        hp, wp = H // self.patch_size, W // self.patch_size
+
+        x = nn.Conv(
+            C, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        x = x.reshape(B, hp * wp, C)
+
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, hp * wp, C),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+        if kpe_emb is not None:
+            x = x + kpe_emb.astype(x.dtype)
+
+        block = Block
+        if self.use_checkpoint:
+            block = nn.checkpoint(Block)
+        for i in range(cfg["depth"]):
+            x = block(cfg["num_heads"], cfg["mlp_ratio"], dtype=self.dtype,
+                      name=f"block{i}")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="last_norm")(x)
+        return x.reshape(B, hp, wp, C)
+
+
+class VitB16Spatial(nn.Module):
+    """ViT-B/16 + conv adapter -> resnet50-compatible (B, 7, 7, 2048) map
+    (the reference's ``vit_b_16`` + ``vit_conv`` path,
+    ``src/nets/backbone/utils.py:27``: avgpool s2 -> 3x3 conv 768->2048 ->
+    BN -> ReLU)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = ViTBackbone(variant="b16", dtype=self.dtype, name="vit")(
+            x, train=train
+        )  # (B, 14, 14, 768)
+        y = nn.avg_pool(feat, (2, 2), strides=(2, 2))
+        y = nn.Conv(2048, (3, 3), dtype=self.dtype, name="adapter_conv")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="adapter_bn")(y)
+        return nn.relu(y)

@@ -119,9 +119,9 @@ def _build_backbone(name: str, dtype):
     if name == "resnet18":
         return resnet18(dtype=dtype)
     if name == "vit_b_16":
-        from hands_tpu.models.backbones.vit import ViTBackbone
+        from hands_tpu.models.backbones.vit import VitB16Spatial
 
-        return ViTBackbone(variant="b16", dtype=dtype)
+        return VitB16Spatial(dtype=dtype)
     raise ValueError(f"unsupported backbone '{name}'")
 
 

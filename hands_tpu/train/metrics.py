@@ -1,0 +1,118 @@
+"""Batched on-device evaluation metrics.
+
+TPU-native forms of ``/root/reference/src/utils/eval_modules.py`` +
+``common/metrics.py``: every metric is a dense batched computation emitting
+per-example arrays with NaN for invalid entries (identical masking semantics
+to the reference; epoch aggregation is a nanmean). Procrustes alignment runs
+as one batched SVD (``hands_tpu.ops.procrustes``) instead of a per-sample
+numpy loop.
+
+Registry: ``eval_fn_dict`` keyed like the reference ("mpjpe.ra",
+"mpjpe.pa.ra", "mrrpe.rl", "pix_err").
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hands_tpu.core.xdict import XDict
+from hands_tpu.ops.procrustes import similarity_align
+
+_NAN = jnp.nan
+
+
+def joint3d_error(gt, pred, valid_sample):
+    """Per-joint L2 (B, J); rows of invalid samples are NaN."""
+    dist = jnp.sqrt(jnp.sum((gt - pred) ** 2, axis=2))
+    return jnp.where(valid_sample[:, None] > 0, dist, _NAN)
+
+
+def pixel_error(gt, pred, valid_jts):
+    """Per-joint 2D L2 (B, J); invalid joints are NaN."""
+    dist = jnp.sqrt(jnp.sum((gt - pred) ** 2, axis=2))
+    return jnp.where(valid_jts > 0, dist, _NAN)
+
+
+def _nanmean(x, axis):
+    mask = jnp.isfinite(x)
+    s = jnp.where(mask, x, 0.0).sum(axis=axis)
+    n = mask.sum(axis=axis)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), _NAN)
+
+
+def eval_mpjpe_ra(pred, targets, meta_info) -> XDict:
+    out = XDict()
+    is_valid = targets["is_valid"]
+    rv = targets["right_valid"] * is_valid
+    lv = targets["left_valid"] * is_valid
+
+    def ra(x):
+        return x - x[:, :1, :]
+
+    err_r = joint3d_error(
+        ra(targets["mano.j3d.cam.r"]), ra(pred["mano.j3d.cam.r"]), rv
+    ).mean(axis=1)
+    err_l = joint3d_error(
+        ra(targets["mano.j3d.cam.l"]), ra(pred["mano.j3d.cam.l"]), lv
+    ).mean(axis=1)
+    out["mpjpe/ra/h"] = _nanmean(jnp.stack([err_r, err_l], axis=1), axis=1) * 1000.0
+    return out
+
+
+def eval_mpjpe_pa_ra(pred, targets, meta_info) -> XDict:
+    out = XDict()
+    is_valid = targets["is_valid"]
+    rv = targets["right_valid"] * is_valid
+    lv = targets["left_valid"] * is_valid
+
+    def pa_err(gt, pr, valid):
+        gt_ra = gt - gt[:, :1, :]
+        pr_ra = pr - pr[:, :1, :]
+        pr_hat = similarity_align(pr_ra, gt_ra)
+        return joint3d_error(gt_ra, pr_hat, valid).mean(axis=1)
+
+    err_r = pa_err(targets["mano.j3d.cam.r"], pred["mano.j3d.cam.r"], rv)
+    err_l = pa_err(targets["mano.j3d.cam.l"], pred["mano.j3d.cam.l"], lv)
+    out["mpjpe/pa/ra/h"] = (
+        _nanmean(jnp.stack([err_r, err_l], axis=1), axis=1) * 1000.0
+    )
+    return out
+
+
+def eval_mrrpe_rl(pred, targets, meta_info) -> XDict:
+    out = XDict()
+    is_valid = targets["is_valid"]
+    valid = targets["right_valid"] * targets["left_valid"] * is_valid
+    rel_gt = targets["mano.j3d.cam.l"][:, 0] - targets["mano.j3d.cam.r"][:, 0]
+    rel_pred = pred["mano.j3d.cam.l"][:, 0] - pred["mano.j3d.cam.r"][:, 0]
+    err = jnp.sqrt(jnp.sum((rel_pred - rel_gt) ** 2, axis=1))
+    out["mrrpe/r/l"] = jnp.where(valid > 0, err, _NAN) * 1000.0
+    return out
+
+
+def eval_pix_err(pred, targets, meta_info) -> XDict:
+    out = XDict()
+    is_valid = targets["is_valid"]
+    rv = targets["joints_valid_r"] * (targets["right_valid"] * is_valid)[:, None]
+    lv = targets["joints_valid_l"] * (targets["left_valid"] * is_valid)[:, None]
+    pix_r = pixel_error(targets["mano.j2d.r"][..., :2], pred["mano.j2d.r"], rv)
+    pix_l = pixel_error(targets["mano.j2d.l"][..., :2], pred["mano.j2d.l"], lv)
+    out["pix_err/r"] = pix_r
+    out["pix_err/l"] = pix_l
+    out["pix_err/h"] = jnp.concatenate([pix_r, pix_l], axis=1)
+    return out
+
+
+eval_fn_dict = {
+    "mpjpe.ra": eval_mpjpe_ra,
+    "mpjpe.pa.ra": eval_mpjpe_pa_ra,
+    "mrrpe.rl": eval_mrrpe_rl,
+    "pix_err": eval_pix_err,
+}
+
+
+def evaluate_metrics(pred, targets, meta_info, specs) -> XDict:
+    out = XDict()
+    for key in specs:
+        out.merge(eval_fn_dict[key](pred, targets, meta_info))
+    return out
