@@ -1,0 +1,70 @@
+"""Split bookkeeping: deterministic subsampling, split sizes, padding helpers.
+
+Mirrors ``/root/reference/src/datasets/dataset_utils.py``: the mini/tiny/small
+split sizes (``get_num_images:138``), the seeded deterministic subsample with
+its RNG-stream sanity guard (``downsample:189`` — after ``seed(1)`` the first
+``randint(0, 100)`` must be 17; this pins the exact subset selection across
+python versions), and small utilities (``pad_jts2d:172``).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Sequence
+
+import numpy as np
+
+_SPLIT_SIZES = {
+    "minitrain": 300,
+    "tinytrain": 50,
+    "smalltrain": 20000,
+    "minival": 80,
+    "tinyval": 40,
+    "smallval": 12000,
+    "minitest": 80,
+    "tinytest": 40,
+    "smalltest": 12000,
+}
+
+
+def get_num_images(split: str, num_images: int) -> int:
+    if split in ("train", "val", "test"):
+        return num_images
+    if split in _SPLIT_SIZES:
+        return min(_SPLIT_SIZES[split], num_images)
+    raise ValueError(f"unknown split '{split}'")
+
+
+def downsample(fnames: Sequence, split: str) -> List:
+    """Deterministic subsample of a file list for mini/small splits.
+
+    Uses python's Mersenne stream seeded at 1 with a guard assert, exactly
+    like the reference, so the selected subsets are identical.
+    """
+    if "small" not in split and "mini" not in split and "tiny" not in split:
+        return list(fnames)
+    rng = random.Random(1)
+    assert rng.randint(0, 100) == 17, (
+        "RNG stream drift: deterministic split subsampling would differ "
+        "from the reference selection"
+    )
+    fnames = list(fnames)
+    rng.shuffle(fnames)
+    num_samples = get_num_images(split, len(fnames))
+    return fnames[:num_samples]
+
+
+def pad_jts2d(jts: np.ndarray) -> np.ndarray:
+    """(J, 2) -> (J, 3) with confidence 1 appended."""
+    num_jts = jts.shape[0]
+    return np.concatenate([jts, np.ones((num_jts, 1), jts.dtype)], axis=1)
+
+
+def get_valid(j2d: np.ndarray, img_w: int, img_h: int, min_visible: int = 3):
+    """Per-joint visibility from in-frame test + sample validity (>=3 joints
+    visible, epic_dataset.py:499-500)."""
+    vis = (
+        (j2d[:, 0] >= 0) & (j2d[:, 0] < img_w)
+        & (j2d[:, 1] >= 0) & (j2d[:, 1] < img_h)
+    ).astype(np.float32)
+    return vis, float(vis.sum() >= min_visible)

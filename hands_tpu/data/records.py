@@ -1,0 +1,104 @@
+"""Host-side sample records: the contract between datasets and the device
+pipeline.
+
+A *record* is the minimal per-sample payload a dataset must produce on the
+host (decoded image + labels + camera). Everything geometric/augmentation
+(cropping, warping, KPE, normalisation) happens later, batched, on device —
+the TPU-native inversion of the reference's per-sample cv2 ``__getitem__``
+(``src/datasets/hands_light_dataset.py:25-508``).
+
+Fields follow the reference's label semantics; ``loss_flags`` carries the
+per-dataset supervision routing (§2.2 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+LOSS_FLAGS = (
+    "is_j2d_loss", "is_j3d_loss", "is_pose_loss", "is_beta_loss",
+    "is_cam_loss", "is_grasp_loss", "is_mask_loss", "is_depth_loss",
+)
+
+
+@dataclass
+class Record:
+    imgname: str
+    image: np.ndarray  # (H, W, 3) uint8/float, full image (or speedup crop)
+    K: np.ndarray  # (3, 3) intrinsics in `image` pixel space
+    # 2D joints in `image` pixel space, (21, 3) [x, y, conf]; zeros if absent
+    j2d_r: np.ndarray = None
+    j2d_l: np.ndarray = None
+    # 3D joints in camera space (21, 3); zeros if absent
+    j3d_r: np.ndarray = None
+    j3d_l: np.ndarray = None
+    # MANO params (48,) aa + (10,); zeros if absent
+    pose_r: np.ndarray = None
+    pose_l: np.ndarray = None
+    beta_r: np.ndarray = None
+    beta_l: np.ndarray = None
+    # scene bbox driving the full-image patch: (cx, cy, scale/200px)
+    bbox: np.ndarray = None
+    # optional precomputed hand boxes in image space, (4,) xywh
+    r_bbox: Optional[np.ndarray] = None
+    l_bbox: Optional[np.ndarray] = None
+    # aux labels
+    grasp_r: int = 8  # 8 == "no grasp" (epic_grasp_dataset.py:43-52)
+    grasp_l: int = 8
+    mask: Optional[np.ndarray] = None  # (H, W) hand mask, R=255/L=127 coding
+    depth: Optional[np.ndarray] = None  # (H, W) metric depth
+    # validity
+    right_valid: float = 1.0
+    left_valid: float = 1.0
+    is_valid: float = 1.0
+    joints_valid_r: np.ndarray = None  # (21,)
+    joints_valid_l: np.ndarray = None
+    grasp_valid_r: float = 0.0
+    grasp_valid_l: float = 0.0
+    mask_valid_r: float = 0.0
+    mask_valid_l: float = 0.0
+    # supervision routing
+    loss_flags: Dict[str, float] = field(default_factory=dict)
+    dataset: str = ""
+
+    def __post_init__(self):
+        H = self.image.shape[0] if self.image is not None else 224
+        W = self.image.shape[1] if self.image is not None else 224
+        z21_3 = lambda: np.zeros((21, 3), np.float32)  # noqa: E731
+        if self.j2d_r is None:
+            self.j2d_r = z21_3()
+        if self.j2d_l is None:
+            self.j2d_l = z21_3()
+        if self.j3d_r is None:
+            self.j3d_r = z21_3()
+        if self.j3d_l is None:
+            self.j3d_l = z21_3()
+        if self.pose_r is None:
+            self.pose_r = np.zeros(48, np.float32)
+        if self.pose_l is None:
+            self.pose_l = np.zeros(48, np.float32)
+        if self.beta_r is None:
+            self.beta_r = np.zeros(10, np.float32)
+        if self.beta_l is None:
+            self.beta_l = np.zeros(10, np.float32)
+        if self.bbox is None:
+            self.bbox = np.asarray(
+                [W / 2, H / 2, max(H, W) / 200.0], np.float32
+            )
+        if self.joints_valid_r is None:
+            self.joints_valid_r = np.full(21, self.right_valid, np.float32)
+        if self.joints_valid_l is None:
+            self.joints_valid_l = np.full(21, self.left_valid, np.float32)
+        for flag in LOSS_FLAGS:
+            self.loss_flags.setdefault(flag, 0.0)
+
+
+def default_flags(**on) -> Dict[str, float]:
+    flags = {k: 0.0 for k in LOSS_FLAGS}
+    for k, v in on.items():
+        key = k if k.startswith("is_") else f"is_{k}_loss"
+        flags[key] = float(v)
+    return flags

@@ -1,0 +1,354 @@
+"""Fused on-device preprocessing: batched crop / warp / augment / KPE.
+
+The reference does all of this per-sample on CPU workers with cv2
+(``/root/reference/common/data_utils.py``: ``gen_trans_from_patch_cv:56``,
+``generate_patch_image:94``, ``augm_params:136``, ``rgb_processing:182``,
+``j2d_processing:273``, ``crop_and_pad:495``; KPE angles in
+``src/datasets/hands_light_dataset.py:256-352``). Here the whole pipeline is
+batched XLA running on device — one fused program per batch, no Python loop,
+differentiable where meaningful, driven by ``jax.random`` so augmentation is
+reproducible from a single key.
+
+Semantics match the reference's math exactly for: affine crop matrices,
+augmentation distributions (rot ~ clip(N(0, rf)·2), zeroed w.p. 0.6; scale ~
+clip(N(1, sf)); channel noise ~ U[1±nf]), keypoint transforms, intrinsics
+updates and KPE angles. Image *resampling* uses bilinear or Catmull-Rom
+bicubic gathers (cv2 INTER_CUBIC analogue); pixel-level parity with cv2 is
+approximate by design — the parity contract is on keypoints/intrinsics/KPE
+(exact) and downstream metrics, not on interpolated pixels (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------ affine algebra
+def crop_transform(
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    src_size: jnp.ndarray,
+    rot_deg: jnp.ndarray,
+    out_res: int,
+) -> jnp.ndarray:
+    """Batched dst->src affine maps for square crops (inverse warp).
+
+    Matches ``gen_trans_from_patch_cv(..., inv=True)``: a source square of
+    side ``src_size`` centred at (cx, cy), rotated by ``rot_deg``, maps onto
+    the (out_res x out_res) patch. Returns (B, 2, 3) with
+    ``src_xy = M @ [dst_x, dst_y, 1]``.
+    """
+    rot_rad = jnp.deg2rad(rot_deg)
+    cs, sn = jnp.cos(rot_rad), jnp.sin(rot_rad)
+    s = src_size / out_res  # scale dst px -> src px
+    half = out_res / 2.0
+    # rotation about the patch centre then translate to (cx, cy)
+    a00 = cs * s
+    a01 = -sn * s
+    a10 = sn * s
+    a11 = cs * s
+    tx = cx - (a00 * half + a01 * half)
+    ty = cy - (a10 * half + a11 * half)
+    return jnp.stack(
+        [jnp.stack([a00, a01, tx], -1), jnp.stack([a10, a11, ty], -1)], axis=-2
+    )
+
+
+# ----------------------------------------------------------------- resampling
+def _gather_pixels(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray):
+    """img (H, W, C); xi, yi int arrays (...,). Returns (..., C) with zeros
+    outside bounds (cv2 BORDER_CONSTANT 0)."""
+    H, W, _ = img.shape
+    inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    xc = jnp.clip(xi, 0, W - 1)
+    yc = jnp.clip(yi, 0, H - 1)
+    vals = img[yc, xc]  # advanced indexing -> gather
+    return vals * inb[..., None]
+
+
+def _cubic_kernel(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """Keys bicubic weight (cv2's INTER_CUBIC uses a=-0.75)."""
+    at = jnp.abs(t)
+    w1 = ((a + 2) * at - (a + 3)) * at * at + 1.0
+    w2 = ((a * at - 5 * a) * at + 8 * a) * at - 4 * a
+    return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+
+
+def warp_affine(
+    images: jnp.ndarray,  # (B, H, W, C)
+    M_inv: jnp.ndarray,  # (B, 2, 3) dst->src
+    out_res: int,
+    method: str = "bilinear",
+) -> jnp.ndarray:
+    """Batched inverse-map affine warp -> (B, out_res, out_res, C)."""
+    B = images.shape[0]
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_res, dtype=jnp.float32),
+        jnp.arange(out_res, dtype=jnp.float32),
+        indexing="ij",
+    )
+    ones = jnp.ones_like(xs)
+    dst = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)  # (P, 3)
+    src = jnp.einsum("bij,pj->bpi", M_inv, dst)  # (B, P, 2)
+    sx, sy = src[..., 0], src[..., 1]
+
+    def sample_one(img, sx, sy):
+        if method == "nearest":
+            return _gather_pixels(
+                img, jnp.round(sx).astype(jnp.int32), jnp.round(sy).astype(jnp.int32)
+            )
+        if method == "bilinear":
+            x0 = jnp.floor(sx).astype(jnp.int32)
+            y0 = jnp.floor(sy).astype(jnp.int32)
+            fx = (sx - x0)[..., None]
+            fy = (sy - y0)[..., None]
+            v00 = _gather_pixels(img, x0, y0)
+            v01 = _gather_pixels(img, x0 + 1, y0)
+            v10 = _gather_pixels(img, x0, y0 + 1)
+            v11 = _gather_pixels(img, x0 + 1, y0 + 1)
+            top = v00 * (1 - fx) + v01 * fx
+            bot = v10 * (1 - fx) + v11 * fx
+            return top * (1 - fy) + bot * fy
+        if method == "cubic":
+            x0 = jnp.floor(sx).astype(jnp.int32)
+            y0 = jnp.floor(sy).astype(jnp.int32)
+            acc = 0.0
+            for dy in range(-1, 3):
+                wy = _cubic_kernel(sy - (y0 + dy))[..., None]
+                row = 0.0
+                for dx in range(-1, 3):
+                    wx = _cubic_kernel(sx - (x0 + dx))[..., None]
+                    row = row + wx * _gather_pixels(img, x0 + dx, y0 + dy)
+                acc = acc + wy * row
+            return acc
+        raise ValueError(method)
+
+    out = jax.vmap(sample_one)(images, sx, sy)
+    return out.reshape(B, out_res, out_res, images.shape[-1])
+
+
+def gaussian_blur(images: jnp.ndarray, kernel: int = 5, sigma: float = 8.0):
+    """Separable Gaussian blur, NHWC (the reference's cv2 anti-alias pass)."""
+    half = kernel // 2
+    x = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x * x) / (2 * sigma * sigma))
+    k = k / k.sum()
+    C = images.shape[-1]
+    kh = jnp.tile(k.reshape(1, kernel, 1, 1), (1, 1, 1, C))  # HWIO depthwise
+    kv = jnp.tile(k.reshape(kernel, 1, 1, 1), (1, 1, 1, C))
+    dn = jax.lax.conv_dimension_numbers(images.shape, kh.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        images, kh, (1, 1), [(0, 0), (half, half)], dimension_numbers=dn,
+        feature_group_count=C,
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kv, (1, 1), [(half, half), (0, 0)], dimension_numbers=dn,
+        feature_group_count=C,
+    )
+    return out
+
+
+# -------------------------------------------------------------- augmentation
+def augm_params(
+    key: jax.Array,
+    batch: int,
+    is_train: bool,
+    flip_prob: float,
+    noise_factor: float,
+    rot_factor: float,
+    scale_factor: float,
+):
+    """Batched augmentation draws (reference ``augm_params``, exact
+    distributions). Returns dict of (B,)-arrays: flip, rot (deg), sc and
+    (B,3) pn channel gains."""
+    if not is_train:
+        return {
+            "flip": jnp.zeros(batch),
+            "pn": jnp.ones((batch, 3)),
+            "rot": jnp.zeros(batch),
+            "sc": jnp.ones(batch),
+        }
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    flip = (jax.random.uniform(k1, (batch,)) <= flip_prob).astype(jnp.float32)
+    pn = jax.random.uniform(
+        k2, (batch, 3), minval=1 - noise_factor, maxval=1 + noise_factor
+    )
+    rot = jnp.clip(
+        jax.random.normal(k3, (batch,)) * rot_factor, -2 * rot_factor,
+        2 * rot_factor,
+    )
+    rot = jnp.where(jax.random.uniform(k4, (batch,)) <= 0.6, 0.0, rot)
+    sc = jnp.clip(
+        jax.random.normal(k5, (batch,)) * scale_factor + 1.0,
+        1 - scale_factor, 1 + scale_factor,
+    )
+    return {"flip": flip, "pn": pn, "rot": rot, "sc": sc}
+
+
+def rgb_crop_augment(
+    images: jnp.ndarray,  # (B, H, W, 3) uint8/float in [0, 255]
+    center: jnp.ndarray,  # (B, 2)
+    bbox_dim: jnp.ndarray,  # (B,) normalised bbox scale (x200 px)
+    augm: dict,
+    img_res: int,
+    antialias: bool = True,
+    method: str = "cubic",
+) -> jnp.ndarray:
+    """Batched ``rgb_processing``: blur -> rotated square crop of side
+    ``sc * bbox_dim * 200`` -> channel noise -> [0,1] NHWC float."""
+    imgs = images.astype(jnp.float32)
+    if antialias:
+        imgs = gaussian_blur(imgs)
+    crop_dim = augm["sc"] * bbox_dim * 200.0
+    M = crop_transform(center[:, 0], center[:, 1], crop_dim, augm["rot"], img_res)
+    patch = warp_affine(imgs, M, img_res, method=method)
+    patch = jnp.clip(patch * augm["pn"][:, None, None, :], 0.0, 255.0)
+    return patch / 255.0
+
+
+def mask_crop(
+    masks: jnp.ndarray, center: jnp.ndarray, bbox_dim: jnp.ndarray, augm: dict,
+    img_res: int,
+) -> jnp.ndarray:
+    """Batched ``mask_processing``: nearest-neighbour crop, no blur/noise."""
+    crop_dim = augm["sc"] * bbox_dim * 200.0
+    M = crop_transform(center[:, 0], center[:, 1], crop_dim, augm["rot"], img_res)
+    if masks.ndim == 3:
+        masks = masks[..., None]
+    return warp_affine(masks.astype(jnp.float32), M, img_res, method="nearest")
+
+
+# ----------------------------------------------------------- keypoint math
+def j2d_crop_transform(
+    kp2d: jnp.ndarray,  # (B, J, 2+) pixel coords in source image
+    center: jnp.ndarray,  # (B, 2)
+    bbox_dim: jnp.ndarray,  # (B,)
+    augm: dict,
+    img_res: int,
+) -> jnp.ndarray:
+    """Batched ``j2d_processing``: map keypoints through the same crop+rot
+    transform and normalise to [-1, 1]."""
+    crop_dim = augm["sc"] * bbox_dim * 200.0
+    M = crop_transform(center[:, 0], center[:, 1], crop_dim, augm["rot"], img_res)
+    # invert the 2x3 dst->src map to get src->dst
+    A = M[:, :, :2]
+    t = M[:, :, 2]
+    A_inv = jnp.linalg.inv(A)
+    xy = jnp.einsum("bij,bnj->bni", A_inv, kp2d[..., :2] - t[:, None, :])
+    xy_norm = 2.0 * xy / img_res - 1.0
+    return jnp.concatenate([xy_norm, kp2d[..., 2:]], axis=-1)
+
+
+def pose_aug_rotate(pose: jnp.ndarray, rot_deg: jnp.ndarray) -> jnp.ndarray:
+    """Rotate the global-orient entry of flattened MANO poses (B, 48) by the
+    in-plane augmentation rotation (reference ``pose_processing``)."""
+    from hands_tpu.core import rot as rotlib
+
+    glob = rotlib.rot_aa(pose[:, :3], rot_deg)
+    return jnp.concatenate([glob, pose[:, 3:]], axis=-1)
+
+
+def jitter_bbox(key: jax.Array, bbox: jnp.ndarray, t_stdev: float = 0.2):
+    """Translation-only bbox jitter (reference ``jitter_bbox:463`` — its scale
+    jitter is computed then discarded, a quirk we deliberately drop).
+    bbox: (B, 4) [x0, y0, w, h]."""
+    B = bbox.shape[0]
+    wh = bbox[:, 2:]
+    center = bbox[:, :2] + wh / 2
+    jt = (jax.random.uniform(key, (B, 2)) * 2 - 1) * t_stdev * wh
+    new_center = center + jt
+    return jnp.concatenate([new_center - wh / 2, wh], axis=-1)
+
+
+def crop_and_pad_bbox(
+    bbox_xyxy: jnp.ndarray, img_res: int, scale: float = 1.5
+) -> jnp.ndarray:
+    """Square max-side crop box (reference ``crop_and_pad:495``): centre of
+    the bbox, side = max(w, h) * scale; returns clipped [x0, y0, x1, y1]."""
+    x0, y0, x1, y1 = (bbox_xyxy[:, i] for i in range(4))
+    xm = (x0 + x1) // 2
+    ym = (y0 + y1) // 2
+    size = jnp.maximum(x1 - x0, y1 - y0) * scale
+    out = jnp.stack(
+        [xm - size // 2, ym - size // 2, xm + size // 2, ym + size // 2], -1
+    )
+    return jnp.clip(out, 0, img_res - 1)
+
+
+def crop_and_pad_images(
+    images: jnp.ndarray,  # (B, H, W, C) float [0,1]
+    bbox_xyxy: jnp.ndarray,  # (B, 4)
+    out_res: int,
+    scale: float = 1.5,
+    method: str = "cubic",
+) -> jnp.ndarray:
+    """Crop the (already-augmented) full patch to the per-hand square box."""
+    x0, y0, x1, y1 = (bbox_xyxy[:, i] for i in range(4))
+    cx = (x0 + x1) / 2.0
+    cy = (y0 + y1) / 2.0
+    size = jnp.maximum(x1 - x0, y1 - y0) * scale
+    M = crop_transform(cx, cy, size, jnp.zeros_like(cx), out_res)
+    return jnp.clip(warp_affine(images, M, out_res, method=method), 0.0, 1.0)
+
+
+# ------------------------------------------------------------------- KPE
+def kpe_center_angles(bbox_xyxy: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2) ray angles of the crop centre: arctan2(c - pp, f)
+    (hands_light_dataset.py:259-266)."""
+    center = (bbox_xyxy[:, :2] + bbox_xyxy[:, 2:]) / 2.0
+    ax = jnp.arctan2(center[:, 0] - K[:, 0, 2], K[:, 0, 0])
+    ay = jnp.arctan2(center[:, 1] - K[:, 1, 2], K[:, 1, 1])
+    return jnp.stack([ax, ay], axis=-1)
+
+
+def kpe_corner_angles(bbox_xyxy: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """(B, 8) ray angles of the 4 crop corners, corner-major [x, y] pairs
+    (hands_light_dataset.py:270-278)."""
+    x0, y0, x1, y1 = (bbox_xyxy[:, i] for i in range(4))
+    corners = jnp.stack(
+        [
+            jnp.stack([x0, y0], -1), jnp.stack([x0, y1], -1),
+            jnp.stack([x1, y0], -1), jnp.stack([x1, y1], -1),
+        ],
+        axis=1,
+    )  # (B, 4, 2)
+    pp = jnp.stack([K[:, 0, 2], K[:, 1, 2]], -1)[:, None, :]
+    f = jnp.stack([K[:, 0, 0], K[:, 1, 1]], -1)[:, None, :]
+    return jnp.arctan2(corners - pp, f).reshape(-1, 8)
+
+
+def kpe_dense_angles(
+    bbox_xyxy: jnp.ndarray, K: jnp.ndarray, img_res: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense per-pixel ray angles over each crop, padded to (img_res,
+    img_res) with a validity mask (hands_light_dataset.py:282-300).
+
+    TPU-first formulation: instead of the reference's ragged
+    (bbox-height x bbox-width) grids scattered into a fixed canvas, sample a
+    fixed (img_res x img_res) lattice across the bbox — static shapes, no
+    scatter, mask all-ones. Returns angles (B, H, W, 2) NHWC + mask (B, H, W).
+    """
+    B = bbox_xyxy.shape[0]
+    t = jnp.linspace(0.0, 1.0, img_res)
+    x0, y0, x1, y1 = (bbox_xyxy[:, i] for i in range(4))
+    gx = x0[:, None] + (x1 - x0)[:, None] * t[None, :]  # (B, W)
+    gy = y0[:, None] + (y1 - y0)[:, None] * t[None, :]  # (B, H)
+    ax = jnp.arctan2(gx[:, None, :] - K[:, 0, 2, None, None], K[:, 0, 0, None, None])
+    ay = jnp.arctan2(gy[:, :, None] - K[:, 1, 2, None, None], K[:, 1, 1, None, None])
+    ax = jnp.broadcast_to(ax, (B, img_res, img_res))
+    ay = jnp.broadcast_to(ay, (B, img_res, img_res))
+    angles = jnp.stack([ax, ay], axis=-1)
+    return angles, jnp.ones((B, img_res, img_res), jnp.float32)
+
+
+# ---------------------------------------------------------------- normalise
+def normalize_imagenet(images: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """[0,1] NHWC -> ImageNet-normalised."""
+    mean = jnp.asarray(mean, images.dtype)
+    std = jnp.asarray(std, images.dtype)
+    return (images - mean) / std

@@ -1,0 +1,138 @@
+"""Data layer: records, device pipeline, dataset registry, loaders."""
+
+import jax
+import numpy as np
+import pytest
+
+from hands_tpu.config import default_config
+from hands_tpu.data import dataset_utils as du
+from hands_tpu.data.datasets import (
+    DATASET_REGISTRY, ConcatDataset, DataNotFoundError, SyntheticRecordDataset,
+    fetch_dataset,
+)
+from hands_tpu.data.device_pipeline import DeviceDataLoader, DevicePreprocessor, stack_records
+
+
+def cfg_small(**kw):
+    base = dict(use_render_seg_loss=True, use_grasp_loss=True,
+                compute_dtype="float32")
+    base.update(kw)
+    return default_config("hands_light", **base)
+
+
+def test_downsample_deterministic():
+    names = [f"f{i}" for i in range(1000)]
+    a = du.downsample(names, "minitrain")
+    b = du.downsample(names, "minitrain")
+    assert a == b and len(a) == 300
+    assert du.downsample(names, "train") == names
+    assert len(du.downsample(names, "tinyval")) == 40
+
+
+def test_synthetic_records_consistent_geometry():
+    cfg = cfg_small()
+    ds = SyntheticRecordDataset(cfg, "train", length=4)
+    rec = ds[0]
+    # j2d must be the projection of j3d through K
+    p = rec.j3d_r @ rec.K.T
+    j2d = p[:, :2] / p[:, 2:]
+    np.testing.assert_allclose(rec.j2d_r[:, :2], j2d, atol=1e-3)
+    assert rec.image.shape == (320, 427, 3)
+    assert rec.loss_flags["is_j2d_loss"] == 1.0
+    assert rec.loss_flags["is_depth_loss"] == 0.0
+
+
+def test_device_pipeline_shapes_and_consistency():
+    cfg = cfg_small()
+    ds = SyntheticRecordDataset(cfg, "train", length=4)
+    stacked = stack_records([ds[i] for i in range(4)])
+    pre = DevicePreprocessor(cfg, is_train=False)  # no augmentation
+    inputs, targets, meta = pre(stacked, jax.random.PRNGKey(0))
+
+    B, res = 4, cfg.img_res
+    assert inputs["img"].shape == (B, res, res, 3)
+    assert inputs["r_img"].shape == (B, cfg.img_res_ds, cfg.img_res_ds, 3)
+    assert inputs["r_center_angle"].shape == (B, 2)
+    assert inputs["r_corner_angle"].shape == (B, 8)
+    assert targets["mano.j2d.norm.r"].shape == (B, 21, 3)
+    assert meta["intrinsics"].shape == (B, 3, 3)
+    for k, v in {**inputs, **targets, **meta}.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+    # eval mode: j2d in [-1,1]-ish range (hands near patch centre)
+    j = np.asarray(targets["mano.j2d.norm.r"])[..., :2]
+    assert np.abs(j).max() < 2.0
+
+
+def test_device_pipeline_augmentation_consistency():
+    """With rotation augmentation, the warped joint positions must still
+    match projecting the rotated 3D joints with the patch intrinsics."""
+    cfg = cfg_small(use_gt_k=True)
+    ds = SyntheticRecordDataset(cfg, "train", length=2)
+    stacked = stack_records([ds[0], ds[1]])
+    pre = DevicePreprocessor(cfg, is_train=True)
+    inputs, targets, meta = pre(stacked, jax.random.PRNGKey(42))
+    K = np.asarray(meta["intrinsics"])
+    j3d = np.asarray(targets["mano.j3d.full.r"])
+    p = np.einsum("bij,bnj->bni", K, j3d)
+    j2d_proj = p[..., :2] / p[..., 2:]
+    j2d_norm = 2 * j2d_proj / cfg.img_res - 1
+    j2d_t = np.asarray(targets["mano.j2d.norm.r"])[..., :2]
+    np.testing.assert_allclose(j2d_t, j2d_norm, atol=2e-2)
+
+
+def test_loader_iterates():
+    cfg = cfg_small()
+    ds = SyntheticRecordDataset(cfg, "train", length=6)
+    loader = DeviceDataLoader(ds, cfg, batch_size=2, is_train=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    inputs, targets, meta = batches[0]
+    assert len(meta["imgname"]) == 2
+
+
+def test_concat_dataset():
+    cfg = cfg_small()
+    a = SyntheticRecordDataset(cfg, "train", length=3)
+    b = SyntheticRecordDataset(cfg, "train", length=2)
+    cat = ConcatDataset([a, b])
+    assert len(cat) == 5
+    assert cat[4].imgname == b[1].imgname
+
+
+def test_real_datasets_raise_without_data(tmp_path, monkeypatch):
+    monkeypatch.setenv("DATA_DIR", str(tmp_path))
+    cfg = cfg_small()
+    for name in ["hands", "assembly", "epic", "epic_grasp", "epic_seg",
+                 "epic_depth", "ego_grasp", "ego_seg", "h2o", "egoexo",
+                 "sample"]:
+        with pytest.raises(DataNotFoundError):
+            DATASET_REGISTRY[name](cfg, "train")
+
+
+def test_fetch_dataset_concat_syntax():
+    cfg = cfg_small()
+    ds = fetch_dataset(cfg, "synthetic+synthetic", "tinyval")
+    assert len(ds) == 2 * len(SyntheticRecordDataset(cfg, "tinyval"))
+
+
+def test_pipeline_feeds_model_end_to_end():
+    """Loader batch -> model forward -> loss: full real-data-path chain."""
+    from hands_tpu.models.hands_light import HandsLightModel
+    from hands_tpu.train.losses import compute_loss_light, total_loss
+    from hands_tpu.train.process import process_data_light
+
+    cfg = cfg_small(backbone="resnet18", use_glb_feat=False,
+                    use_render_seg_loss=False, use_grasp_loss=True)
+    ds = SyntheticRecordDataset(cfg, "train", length=2)
+    loader = DeviceDataLoader(ds, cfg, batch_size=2, is_train=True, seed=0)
+    inputs, targets, meta = next(iter(loader))
+    meta_dev = meta.rm("imgname")
+
+    model = HandsLightModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), inputs, meta_dev)
+    _, targets, meta_dev = process_data_light(
+        model.mano_r, model.mano_l, inputs, targets, meta_dev, cfg.img_res)
+    pred = model(variables, inputs, meta_dev, train=False)
+    ld = compute_loss_light(pred, targets, meta_dev, cfg)
+    assert np.isfinite(float(total_loss(ld)))
