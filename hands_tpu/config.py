@@ -210,7 +210,7 @@ def construct_args(argv=None) -> Config:
 
     overrides = {}
     for f_ in dataclasses.fields(Config):
-        if hasattr(args, f_.name):
+        if f_.name != "method" and hasattr(args, f_.name):
             v = getattr(args, f_.name)
             if v is None:
                 continue

@@ -543,9 +543,12 @@ class SyntheticRecordDataset(RecordDataset):
     _FLAGS = default_flags(j2d=1, j3d=1, pose=1, beta=1, cam=1, grasp=1,
                            mask=1)
 
-    def __init__(self, cfg: Config, split: str = "train", length: int = 64,
+    _SPLIT_LEN = {"minitrain": 12, "tinytrain": 4, "smalltrain": 32,
+                  "minival": 6, "tinyval": 4, "smallval": 16}
+
+    def __init__(self, cfg: Config, split: str = "train", length: int = None,
                  img_hw=(320, 427)):
-        self.length = length
+        self.length = length or self._SPLIT_LEN.get(split, 64)
         self.img_hw = img_hw
         super().__init__(cfg, split)
 

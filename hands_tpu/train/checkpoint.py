@@ -1,0 +1,101 @@
+"""Orbax checkpointing with the reference's selection semantics.
+
+Mirrors ``ModelCheckpoint(monitor='loss__val', save_top_k=3, save_last=True)``
+(``/root/reference/scripts_method/train.py:39-47``) and the resume path
+(``--resume_ckpt`` restoring optimizer/epoch, ``comet_utils.py:68-69``):
+checkpoints live under ``logs/<exp_key>/checkpoints``; ``last`` is always
+written; the three best-by-``loss__val`` are kept.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, top_k: int = 3):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.top_k = top_k
+        self._ckptr = ocp.StandardCheckpointer()
+        self._scores_path = os.path.join(self.ckpt_dir, "scores.json")
+        self._scores = {}
+        if os.path.exists(self._scores_path):
+            self._scores = json.load(open(self._scores_path))
+
+    # ------------------------------------------------------------------ save
+    def _state_payload(self, state, epoch: int):
+        return {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "epoch": np.asarray(epoch),
+        }
+
+    def save_last(self, state, epoch: int):
+        path = os.path.join(self.ckpt_dir, "last")
+        self._ckptr.save(path, self._state_payload(state, epoch), force=True)
+        self._ckptr.wait_until_finished()
+
+    def save_top_k(self, state, epoch: int, monitor_value: float):
+        """Keep the ``top_k`` lowest ``loss__val`` checkpoints."""
+        name = f"epoch_{epoch:04d}"
+        self._scores[name] = float(monitor_value)
+        keep = sorted(self._scores, key=self._scores.get)[: self.top_k]
+        if name in keep:
+            self._ckptr.save(
+                os.path.join(self.ckpt_dir, name),
+                self._state_payload(state, epoch), force=True,
+            )
+            self._ckptr.wait_until_finished()
+        for stale in [k for k in self._scores if k not in keep]:
+            del self._scores[stale]
+            stale_p = os.path.join(self.ckpt_dir, stale)
+            if os.path.exists(stale_p):
+                import shutil
+
+                shutil.rmtree(stale_p, ignore_errors=True)
+        with open(self._scores_path, "w") as f:
+            json.dump(self._scores, f)
+
+    # --------------------------------------------------------------- restore
+    def restore(self, state, name: str = "last"):
+        """Restore a full train state (resume). Returns (state, epoch)."""
+        path = os.path.join(self.ckpt_dir, name)
+        target = self._state_payload(state, 0)
+        restored = self._ckptr.restore(path, target)
+        new_state = state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+        return new_state, int(restored["epoch"])
+
+    def restore_params(self, params_like, name: str = "last"):
+        """Warm start: params only, tolerant of missing keys (the
+        ``load_state_dict(strict=False)`` analogue, train.py:34-37)."""
+        path = os.path.join(self.ckpt_dir, name)
+        full = self._ckptr.restore(path)
+        saved = full.get("params", full)
+
+        def merge(like, got):
+            if isinstance(like, dict):
+                return {
+                    k: merge(v, got[k]) if isinstance(got, dict) and k in got
+                    else v
+                    for k, v in like.items()
+                }
+            return got if got is not None else like
+
+        return merge(params_like, saved)
+
+    def has_checkpoint(self, name: str = "last") -> bool:
+        return os.path.exists(os.path.join(self.ckpt_dir, name))

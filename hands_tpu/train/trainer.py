@@ -1,0 +1,120 @@
+"""The training/eval loop: the TPU-native ``AbstractPL`` + Lightning Trainer
+(``/root/reference/common/abstract_pl.py:46-177``, ``scripts_method/
+train.py:57-83``).
+
+Semantics preserved: running-window mean of *unweighted* per-term losses
+logged every ``log_every`` steps; validation every ``eval_every_epoch``
+epochs with per-image metric arrays nanmean'd and ``__val``-postfixed;
+checkpoint selection on min ``loss__val`` (top-3 + last); one sanity val
+batch before training; full resume restoring optimizer/epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import numpy as np
+
+from hands_tpu.config import Config
+from hands_tpu.train.checkpoint import CheckpointManager
+from hands_tpu.train.state import create_train_state
+from hands_tpu.train.step import make_eval_step, make_train_step
+from hands_tpu.utils.experiment import Experiment
+
+
+class Trainer:
+    def __init__(self, cfg: Config, model, experiment: Optional[Experiment] = None):
+        self.cfg = cfg
+        self.model = model
+        self.exp = experiment or Experiment(cfg)
+        self.ckpt = CheckpointManager(self.exp.ckpt_dir)
+        self.train_step = make_train_step(model, cfg)
+        metric_specs = (
+            ["pix_err"] if cfg.val_dataset == "epic"
+            else ["mrrpe.rl", "mpjpe.ra", "mpjpe.pa.ra", "pix_err"]
+        )
+        self.eval_step = make_eval_step(model, cfg, metric_specs)
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, train_loader, val_loader=None, num_epochs: Optional[int] = None):
+        cfg = self.cfg
+        num_epochs = num_epochs or cfg.num_epoch
+
+        first = next(iter(train_loader))
+        inputs, _, meta = first
+        meta_dev = meta.rm("imgname")
+        variables = self.model.init(jax.random.PRNGKey(cfg.seed), inputs, meta_dev)
+        state = create_train_state(cfg, variables, steps_per_epoch=len(train_loader))
+
+        start_epoch = 0
+        if cfg.resume_ckpt and self.ckpt.has_checkpoint("last"):
+            state, start_epoch = self.ckpt.restore(state, "last")
+            print(f"resumed from epoch {start_epoch}")
+        elif cfg.load_ckpt:
+            import os
+
+            warm = CheckpointManager(os.path.dirname(cfg.load_ckpt))
+            params = warm.restore_params(
+                state.params, os.path.basename(cfg.load_ckpt))
+            state = state.replace(params=params)
+
+        # one sanity val batch before training (train.py:70)
+        if val_loader is not None:
+            self._sanity_val(state, val_loader)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        global_step = int(state.step)
+        window = defaultdict(list)
+        for epoch in range(start_epoch, num_epochs):
+            t0 = time.time()
+            for batch in train_loader:
+                inputs, targets, meta = batch
+                meta_dev = meta.rm("imgname")
+                rng, sub = jax.random.split(rng)
+                state, logs = self.train_step(state, (inputs, targets, meta_dev), sub)
+                global_step += 1
+                for k, v in logs.items():
+                    window[k].append(float(v))
+                if global_step % cfg.log_every == 0:
+                    means = {k: float(np.mean(v)) for k, v in window.items()}
+                    self.exp.log_dict(means, global_step, postfix="__train")
+                    window.clear()
+
+            epoch_time = time.time() - t0
+            self.exp.log_dict({"epoch_time_s": epoch_time}, global_step)
+
+            if val_loader is not None and (epoch + 1) % cfg.eval_every_epoch == 0:
+                val_metrics = self.validate(state, val_loader)
+                self.exp.log_dict(val_metrics, global_step, postfix="__val")
+                self.ckpt.save_top_k(state, epoch, val_metrics["loss"])
+            self.ckpt.save_last(state, epoch + 1)
+        return state
+
+    # ------------------------------------------------------------- validate
+    def _sanity_val(self, state, val_loader):
+        batch = next(iter(val_loader))
+        inputs, targets, meta = batch
+        self.eval_step(state, (inputs, targets, meta.rm("imgname")))
+
+    def validate(self, state, val_loader) -> dict:
+        """Eval epoch: nanmean of per-image metric arrays + mean losses
+        (abstract_pl.py:119-141 / pl_utils.reform_outputs)."""
+        metric_arrays = defaultdict(list)
+        losses = defaultdict(list)
+        for batch in val_loader:
+            inputs, targets, meta = batch
+            metrics, logs = self.eval_step(
+                state, (inputs, targets, meta.rm("imgname")))
+            for k, v in metrics.items():
+                metric_arrays[k].append(np.asarray(v))
+            for k, v in logs.items():
+                losses[k].append(float(v))
+        out = {}
+        for k, arrs in metric_arrays.items():
+            out["metric." + k] = float(np.nanmean(np.concatenate(arrs, axis=0)))
+        for k, vals in losses.items():
+            out[k] = float(np.mean(vals))
+        return out
