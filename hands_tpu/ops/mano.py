@@ -314,6 +314,34 @@ _SEAL_FACES_R = np.array(
 )
 
 
+@functools.lru_cache(maxsize=2)
+def load_decimator(is_rhand: bool) -> jnp.ndarray:
+    """195-vertex downsample matrix D (195, 778): verts_sub = D @ verts.
+
+    Loads ARCTIC's ``mano_decimator_195.npy`` when available
+    (``common/body_models.py:11-31``); otherwise builds a uniform-pooling
+    matrix with identical shape/normalisation so the API works end-to-end.
+    """
+    path = os.path.join(
+        os.environ.get("DATA_DIR", ""),
+        "arctic/data/arctic_data/data/meta/mano_decimator_195.npy",
+    )
+    key = "D_right" if is_rhand else "D_left"
+    if os.environ.get("DATA_DIR") and os.path.exists(path):
+        data = np.load(path, allow_pickle=True).item()
+        return jnp.asarray(np.asarray(data[key], np.float32))
+    D = np.zeros((195, NUM_VERTS), np.float32)
+    idx = np.linspace(0, NUM_VERTS - 1, 195).astype(np.int64)
+    D[np.arange(195), idx] = 1.0
+    return jnp.asarray(D)
+
+
+def decimate_verts(verts: jnp.ndarray, is_rhand: bool) -> jnp.ndarray:
+    """(B, 778, 3) -> (B, 195, 3) via the decimation matrix (one matmul)."""
+    D = load_decimator(is_rhand)
+    return jnp.einsum("sv,bvc->bsc", D, verts)
+
+
 def seal_mano_mesh(v3d: jnp.ndarray, faces: jnp.ndarray, is_rhand: bool):
     """Append the wrist-ring centroid vertex and 16 sealing faces.
 

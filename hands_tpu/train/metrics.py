@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from hands_tpu.core.xdict import XDict
-from hands_tpu.ops.procrustes import similarity_align
+from hands_tpu.ops.procrustes import similarity_align, similarity_align_masked
 
 _NAN = jnp.nan
 
@@ -64,15 +64,24 @@ def eval_mpjpe_pa_ra(pred, targets, meta_info) -> XDict:
     is_valid = targets["is_valid"]
     rv = targets["right_valid"] * is_valid
     lv = targets["left_valid"] * is_valid
+    # EgoExo path: per-joint 3D validity drives a weighted Procrustes
+    # (reference eval_modules.py:231-317)
+    jv_r = targets.get("joints3d_valid_r")
+    jv_l = targets.get("joints3d_valid_l")
 
-    def pa_err(gt, pr, valid):
+    def pa_err(gt, pr, valid, jts_valid):
         gt_ra = gt - gt[:, :1, :]
         pr_ra = pr - pr[:, :1, :]
+        if jts_valid is not None:
+            pr_hat = similarity_align_masked(pr_ra, gt_ra, jts_valid)
+            per_joint = joint3d_error(gt_ra, pr_hat, valid)
+            per_joint = jnp.where(jts_valid > 0, per_joint, jnp.nan)
+            return _nanmean(per_joint, axis=1)
         pr_hat = similarity_align(pr_ra, gt_ra)
         return joint3d_error(gt_ra, pr_hat, valid).mean(axis=1)
 
-    err_r = pa_err(targets["mano.j3d.cam.r"], pred["mano.j3d.cam.r"], rv)
-    err_l = pa_err(targets["mano.j3d.cam.l"], pred["mano.j3d.cam.l"], lv)
+    err_r = pa_err(targets["mano.j3d.cam.r"], pred["mano.j3d.cam.r"], rv, jv_r)
+    err_l = pa_err(targets["mano.j3d.cam.l"], pred["mano.j3d.cam.l"], lv, jv_l)
     out["mpjpe/pa/ra/h"] = (
         _nanmean(jnp.stack([err_r, err_l], axis=1), axis=1) * 1000.0
     )
