@@ -90,8 +90,33 @@ class Trainer:
                 val_metrics = self.validate(state, val_loader)
                 self.exp.log_dict(val_metrics, global_step, postfix="__val")
                 self.ckpt.save_top_k(state, epoch, val_metrics["loss"])
+                if not cfg.no_vis:
+                    self.visualize(state, val_loader, global_step)
             self.ckpt.save_last(state, epoch + 1)
         return state
+
+    # ------------------------------------------------------------ visualise
+    def visualize(self, state, loader, step: int, max_examples: int = 1):
+        """Render kp/mesh overlays for one batch and push to the experiment
+        (abstract_pl.py:164-168 / visualize_all)."""
+        from hands_tpu.core.xdict import XDict
+        from hands_tpu.utils.vis import visualize_all
+
+        batch = next(iter(loader))
+        inputs, targets, meta = batch
+        meta_dev = meta.rm("imgname")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        pred = self.model(variables, inputs, meta_dev, train=False)
+        vis_dict = XDict()
+        vis_dict.merge(XDict(inputs).prefix("inputs."))
+        vis_dict.merge(XDict(pred).prefix("pred."))
+        vis_dict.merge(XDict(targets).prefix("targets."))
+        vis_dict.merge(XDict(meta_dev).prefix("meta_info."))
+        try:
+            images = visualize_all(vis_dict, self.cfg, max_examples)
+            self.exp.push_images(images, step)
+        except Exception as e:  # vis must never kill a training run
+            print(f"visualization failed (non-fatal): {e}")
 
     # ------------------------------------------------------------- validate
     def _sanity_val(self, state, val_loader):
