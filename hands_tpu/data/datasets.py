@@ -56,8 +56,17 @@ def _require(path: str, what: str) -> str:
 def _read_image(path: str, dummy_shape=(600, 840, 3)):
     """Robust image read: zero image + False on failure
     (reference ``read_img``, data_utils.py:332 — corrupt files must not kill
-    multi-day runs)."""
+    multi-day runs). Uses the native libjpeg/libpng decoder
+    (``native/hands_host.cpp``) when built; cv2 otherwise.
+    """
     try:
+        from hands_tpu.utils import native
+
+        if native.available():
+            img = native.read_image(path)
+            if img is not None:
+                return img, True
+            raise IOError(path)
         import cv2
 
         img = cv2.imread(path)
