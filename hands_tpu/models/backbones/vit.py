@@ -78,6 +78,19 @@ class Block(nn.Module):
         return x
 
 
+class ScanBlock(nn.Module):
+    """Block with scan-compatible (carry, _) -> (carry, None) signature."""
+
+    num_heads: int
+    mlp_ratio: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        return Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                     name="block")(x), None
+
+
 class ViTBackbone(nn.Module):
     """Patchify -> +pos -> [+kpe tokens] -> blocks -> LN -> spatial map.
 
@@ -90,6 +103,7 @@ class ViTBackbone(nn.Module):
     patch_size: int = 16
     dtype: Any = jnp.float32
     use_checkpoint: bool = False
+    use_scan: bool = True
 
     @nn.compact
     def __call__(self, x, kpe_emb: Optional[jnp.ndarray] = None,
@@ -114,12 +128,26 @@ class ViTBackbone(nn.Module):
         if kpe_emb is not None:
             x = x + kpe_emb.astype(x.dtype)
 
-        block = Block
-        if self.use_checkpoint:
-            block = nn.checkpoint(Block)
-        for i in range(cfg["depth"]):
-            x = block(cfg["num_heads"], cfg["mlp_ratio"], dtype=self.dtype,
-                      name=f"block{i}")(x)
+        if self.use_scan:
+            # Stack the identical blocks with nn.scan: the compiler sees ONE
+            # block body looped `depth` times instead of a depth-times-unrolled
+            # HLO — drastically smaller programs and compile times for the
+            # depth-32 ViT-H (params gain a leading depth axis). Combine with
+            # remat for HBM-bounded training.
+            inner = nn.remat(ScanBlock) if self.use_checkpoint else ScanBlock
+            scanned = nn.scan(
+                inner,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg["depth"],
+            )
+            x, _ = scanned(cfg["num_heads"], cfg["mlp_ratio"],
+                           dtype=self.dtype, name="blocks")(x, None)
+        else:
+            block = nn.checkpoint(Block) if self.use_checkpoint else Block
+            for i in range(cfg["depth"]):
+                x = block(cfg["num_heads"], cfg["mlp_ratio"], dtype=self.dtype,
+                          name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="last_norm")(x)
         return x.reshape(B, hp, wp, C)
 
