@@ -124,13 +124,7 @@ class DevicePreprocessor:
         r_bbox = pp.crop_and_pad_bbox(joints_bbox(j2d_r, k_jit_r), res)
         l_bbox = pp.crop_and_pad_bbox(joints_bbox(j2d_l, k_jit_l), res)
 
-        # ---- 5. per-hand crops from the augmented patch
-        r_img = pp.crop_and_pad_images(img, r_bbox, cfg.img_res_ds,
-                                       scale=1.0, method="bilinear")
-        l_img = pp.crop_and_pad_images(img, l_bbox, cfg.img_res_ds,
-                                       scale=1.0, method="bilinear")
-
-        # ---- 6. intrinsics in patch space + KPE
+        # ---- 6. intrinsics in patch space (needed for PCL crops too)
         K_patch = camlib.crop_adjusted_intrinsics(
             batch["K"], center[:, 0], center[:, 1], augm["sc"] * bbox_dim, res
         )
@@ -140,6 +134,17 @@ class DevicePreprocessor:
                 (B, 3, 3),
             )
 
+        # ---- 5. per-hand crops from the augmented patch
+        r_rot = l_rot = None
+        if cfg.pos_enc == "pcl":
+            r_img, r_rot = pp.pcl_crop(img, r_bbox, K_patch, cfg.img_res_ds)
+            l_img, l_rot = pp.pcl_crop(img, l_bbox, K_patch, cfg.img_res_ds)
+        else:
+            r_img = pp.crop_and_pad_images(img, r_bbox, cfg.img_res_ds,
+                                           scale=1.0, method="bilinear")
+            l_img = pp.crop_and_pad_images(img, l_bbox, cfg.img_res_ds,
+                                           scale=1.0, method="bilinear")
+
         inputs = XDict({
             "img": pp.normalize_imagenet(img, cfg.img_norm_mean, cfg.img_norm_std),
             "r_img": pp.normalize_imagenet(r_img, cfg.img_norm_mean, cfg.img_norm_std),
@@ -147,6 +152,9 @@ class DevicePreprocessor:
             "r_bbox": r_bbox,
             "l_bbox": l_bbox,
         })
+        if r_rot is not None:
+            inputs["r_rot"] = r_rot
+            inputs["l_rot"] = l_rot
         if cfg.pos_enc is not None:
             inputs["r_center_angle"] = pp.kpe_center_angles(r_bbox, K_patch)
             inputs["l_center_angle"] = pp.kpe_center_angles(l_bbox, K_patch)

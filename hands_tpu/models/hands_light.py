@@ -252,13 +252,19 @@ class HandsLightNet(nn.Module):
             out["depth_r"] = depth_head(r_feat)
             out["depth_l"] = depth_head(l_feat)
 
-        # ---- compress latent maps to vectors; heads (stacked R/L pass)
-        feature_conv = FeatureConv(feat_dim, dtype=dtype, name="feature_conv")
-        rl_vec = feature_conv(jnp.concatenate([r_feat, l_feat], axis=0))
-        r_vec, l_vec = rl_vec[:B], rl_vec[B:]
+        # ---- compress latent maps to vectors; heads (stacked R/L pass).
+        # tf_decoder mode keeps spatial maps: the transformer head cross-
+        # attends to feature tokens directly (no feature_conv).
+        if cfg.tf_decoder:
+            r_vec, l_vec = r_feat, l_feat
+        else:
+            feature_conv = FeatureConv(feat_dim, dtype=dtype,
+                                       name="feature_conv")
+            rl_vec = feature_conv(jnp.concatenate([r_feat, l_feat], axis=0))
+            r_vec, l_vec = rl_vec[:B], rl_vec[B:]
 
-        head_r = HandHMR(feat_dim, name="head_r")
-        head_l = HandHMR(feat_dim, name="head_l")
+        head_r = HandHMR(feat_dim, tf_decoder=cfg.tf_decoder, name="head_r")
+        head_l = HandHMR(feat_dim, tf_decoder=cfg.tf_decoder, name="head_l")
         out["hmr_r"] = head_r(r_vec, train=train)
         out["hmr_l"] = head_l(l_vec, train=train)
 
@@ -348,6 +354,26 @@ class HandsLightModel:
             new_model_state = None
 
         hmr_r, hmr_l = net_out["hmr_r"], net_out["hmr_l"]
+
+        # PCL: the crops were resampled by a virtual camera; map the predicted
+        # global orient back with R_virt2orig (reference model.py:330-334)
+        if cfg.pos_enc == "pcl":
+            for hmr, key in ((hmr_r, "r_rot"), (hmr_l, "l_rot")):
+                R = inputs[key]
+                hmr["pose"] = hmr["pose"].at[:, 0].set(R @ hmr["pose"][:, 0])
+        # perspective correction: rotate global orient by the crop's ray
+        # angles (reference model.py:370-376)
+        elif cfg.pos_enc == "perspective_correction":
+            from hands_tpu.core.rot import euler_angles_to_matrix
+
+            for hmr, key in ((hmr_r, "r_center_angle"),
+                             (hmr_l, "l_center_angle")):
+                ang = inputs[key]
+                euler = jnp.concatenate(
+                    [-ang, jnp.zeros_like(ang[:, :1])], axis=-1)
+                R = euler_angles_to_matrix(euler, "XYZ")
+                hmr["pose"] = hmr["pose"].at[:, 0].set(R @ hmr["pose"][:, 0])
+
         is_flipped = meta_info.get("is_flipped")
         if is_flipped is not None:
             hmr_r, hmr_l = _apply_flip_swap(hmr_r, hmr_l, is_flipped)

@@ -64,6 +64,57 @@ class HMRLayer(nn.Module):
         return pred
 
 
+class TfHMRLayer(nn.Module):
+    """Transformer-decoder refinement variant (reference ``hmr_layer.py``
+    ``tf_decoder`` path): each scalar of the 109-dim parameter vector becomes
+    a token (Linear 1->mid), cross-attends to the spatial feature tokens,
+    passes a self-attention encoder (both norm-free, matching the
+    reference's ``no_norm`` transformer fork), means over tokens, and
+    additive decoders update the parameters. n_iter static."""
+
+    mid_dim: int = 1024
+    specs: Tuple[Tuple[str, int], ...] = tuple(HAND_SPECS.items())
+    n_iter: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_map: jnp.ndarray, init_vec, train: bool = False):
+        B = feat_map.shape[0]
+        mem = feat_map.reshape(B, -1, feat_map.shape[-1])
+        feat_mlp = nn.Sequential(
+            [nn.Dense(self.mid_dim, dtype=self.dtype), nn.relu])
+        vector_mlp = nn.Sequential(
+            [nn.Dense(self.mid_dim, dtype=self.dtype), nn.relu])
+        memory = feat_mlp(mem)  # (B, S, mid)
+
+        def mha(name):
+            return nn.MultiHeadDotProductAttention(
+                num_heads=1, dtype=self.dtype, name=name)
+
+        cross = mha("cross_attn")
+        self_attn = mha("self_attn")
+        ff1 = nn.Dense(self.mid_dim, dtype=self.dtype, name="ff1")
+        ff2 = nn.Dense(self.mid_dim, dtype=self.dtype, name="ff2")
+        decoders = {
+            key: nn.Dense(size, kernel_init=_small_xavier(), name=f"dec_{key}")
+            for key, size in self.specs
+        }
+        dropout = nn.Dropout(0.5, deterministic=not train)
+
+        pred = dict(init_vec)
+        for _ in range(self.n_iter):
+            vec = jnp.concatenate([pred[k] for k, _ in self.specs], axis=-1)
+            tgt = vector_mlp(vec[..., None])  # (B, 109, mid)
+            x = tgt + cross(tgt, memory)  # norm-free decoder layer
+            x = x + ff2(nn.relu(ff1(x)))
+            x = x + self_attn(x, x)
+            x = x + ff2(nn.relu(ff1(x)))
+            xc = dropout(x.mean(axis=1))
+            for key, _ in self.specs:
+                pred[key] = pred[key] + decoders[key](xc)
+        return pred
+
+
 class HandHMR(nn.Module):
     """Per-hand HMR head: weak-persp cam init MLP + HMRLayer refinement.
 
@@ -75,6 +126,7 @@ class HandHMR(nn.Module):
 
     feat_dim: int
     n_iter: int = 3
+    tf_decoder: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -86,7 +138,15 @@ class HandHMR(nn.Module):
             nn.Dense(512, dtype=self.dtype), nn.relu,
             nn.Dense(3),
         ])
-        init_transl = cam_init(feat)
+        if self.tf_decoder:
+            # spatial-map input: precursor conv + avgpool for the cam init
+            # (reference hand_hmr.py cam_init_precursor path)
+            pre = nn.Sequential(
+                [nn.Dense(self.feat_dim, dtype=self.dtype), nn.relu])
+            pooled = pre(feat).mean(axis=(1, 2))
+            init_transl = cam_init(pooled)
+        else:
+            init_transl = cam_init(feat)
 
         ident6d = rotlib.matrix_to_rot6d(jnp.eye(3, dtype=jnp.float32)[None])
         init_pose = jnp.tile(ident6d.reshape(1, 6), (B, 16)).reshape(B, 96)
@@ -96,10 +156,15 @@ class HandHMR(nn.Module):
             "cam_t_wp": init_transl,
         }
 
-        pred = HMRLayer(
-            feat_dim=self.feat_dim, n_iter=self.n_iter, dtype=self.dtype,
-            name="hmr_layer",
-        )(feat, init_vec, train=train)
+        if self.tf_decoder:
+            pred = TfHMRLayer(
+                n_iter=self.n_iter, dtype=self.dtype, name="tf_hmr_layer",
+            )(feat, init_vec, train=train)
+        else:
+            pred = HMRLayer(
+                feat_dim=self.feat_dim, n_iter=self.n_iter, dtype=self.dtype,
+                name="hmr_layer",
+            )(feat, init_vec, train=train)
 
         rotmat = rotlib.rot6d_to_matrix(pred["pose_6d"].reshape(B, 16, 6))
         return {

@@ -352,3 +352,104 @@ def normalize_imagenet(images: jnp.ndarray, mean, std) -> jnp.ndarray:
     mean = jnp.asarray(mean, images.dtype)
     std = jnp.asarray(std, images.dtype)
     return (images - mean) / std
+
+
+# -------------------------------------------------------------------- PCL
+def _pcl_rotation_from_position(pos: jnp.ndarray) -> jnp.ndarray:
+    """Virtual-camera rotation looking along the ray through ``pos``
+    (PerspectiveCropLayers; reference hands_light_dataset.py:357-366).
+    pos: (B, 3) normalised ray directions (z=1). Returns (B, 3, 3)
+    R_virt2orig."""
+    x, y = pos[:, 0], pos[:, 1]
+    n1x = jnp.sqrt(1 + x * x)
+    d1x = 1.0 / n1x
+    d1xy = 1.0 / jnp.sqrt(1 + x * x + y * y)
+    d1xy1x = 1.0 / jnp.sqrt((1 + x * x + y * y) * (1 + x * x))
+    zeros = jnp.zeros_like(x)
+    R = jnp.stack(
+        [d1x, -x * y * d1xy1x, x * d1xy,
+         zeros, n1x * d1xy, y * d1xy,
+         -x * d1x, -y * d1xy1x, d1xy], axis=-1)
+    return R.reshape(-1, 3, 3)
+
+
+def _pcl_virtual_intrinsics(pos: jnp.ndarray, K: jnp.ndarray,
+                            bbox_wh: jnp.ndarray) -> jnp.ndarray:
+    """Virtual camera K with focal at the image plane + slant compensation
+    (reference ``bK_virt``). Output is in unit [0,1] image coordinates."""
+    p_len = jnp.linalg.norm(pos, axis=-1)
+    sx = 1.0 / jnp.sqrt(pos[:, 0] ** 2 + pos[:, 2] ** 2)
+    sy = jnp.sqrt(pos[:, 0] ** 2 + 1) / jnp.sqrt(
+        pos[:, 0] ** 2 + pos[:, 1] ** 2 + 1)
+    bbox_comp = bbox_wh * jnp.stack([sx, sy], -1)
+    f_orig = jnp.stack([K[:, 0, 0], K[:, 1, 1]], -1)
+    f_comp = p_len[:, None] * f_orig / jnp.maximum(bbox_comp, 1e-6)
+    B = pos.shape[0]
+    Kv = jnp.zeros((B, 3, 3))
+    Kv = Kv.at[:, 0, 0].set(f_comp[:, 0])
+    Kv = Kv.at[:, 1, 1].set(f_comp[:, 1])
+    Kv = Kv.at[:, 0, 2].set(0.5)
+    Kv = Kv.at[:, 1, 2].set(0.5)
+    Kv = Kv.at[:, 2, 2].set(1.0)
+    return Kv
+
+
+def warp_homography(images: jnp.ndarray, P: jnp.ndarray, out_res: int,
+                    unit_grid: bool = True) -> jnp.ndarray:
+    """Sample images through a projective map: dst unit coords -> src pixels.
+
+    P: (B, 3, 3) with src_homo = P @ [u, v, 1] for u, v in [0, 1].
+    """
+    B = images.shape[0]
+    t = jnp.linspace(0.0, 1.0, out_res)
+    vs, us = jnp.meshgrid(t, t, indexing="ij")
+    grid = jnp.stack([us, vs, jnp.ones_like(us)], -1).reshape(-1, 3)  # (P, 3)
+    src = jnp.einsum("bij,pj->bpi", P, grid)
+    sx = src[..., 0] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * jnp.sign(
+        src[..., 2] + 1e-12)
+    sy = src[..., 1] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * jnp.sign(
+        src[..., 2] + 1e-12)
+
+    def sample_one(img, sx, sy):
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        fx = (sx - x0)[..., None]
+        fy = (sy - y0)[..., None]
+        v00 = _gather_pixels(img, x0, y0)
+        v01 = _gather_pixels(img, x0 + 1, y0)
+        v10 = _gather_pixels(img, x0, y0 + 1)
+        v11 = _gather_pixels(img, x0 + 1, y0 + 1)
+        return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (
+            v10 * (1 - fx) + v11 * fx) * fy
+
+    out = jax.vmap(sample_one)(images, sx, sy)
+    return out.reshape(B, out_res, out_res, images.shape[-1])
+
+
+def pcl_crop(
+    images: jnp.ndarray,  # (B, H, W, C) the full patch, [0, 1]
+    bbox_xyxy: jnp.ndarray,  # (B, 4) hand box in patch pixels
+    K: jnp.ndarray,  # (B, 3, 3) patch intrinsics
+    out_res: int,
+):
+    """Perspective-crop-layer resample (reference pcl branch,
+    hands_light_dataset.py:354-467): rotate a virtual camera toward the
+    hand's ray, build the homography P = K_c @ R_virt2orig @ K_virt^-1 and
+    sample. Returns (crops (B, out_res, out_res, C), R_virt2orig (B, 3, 3))
+    — the model must rotate its predicted global orient by R."""
+    center = (bbox_xyxy[:, :2] + bbox_xyxy[:, 2:]) / 2.0
+    wh = jnp.maximum(bbox_xyxy[:, 2:] - bbox_xyxy[:, :2], 1.0)
+    size = jnp.maximum(wh[:, 0], wh[:, 1])
+    bbox_wh = jnp.stack([size, size], -1)
+
+    K_inv = jnp.linalg.inv(K)
+    pos = jnp.einsum("bij,bj->bi", K_inv, to_homo2d(center))
+    R = _pcl_rotation_from_position(pos)
+    Kv = _pcl_virtual_intrinsics(pos, K, bbox_wh)
+    P = K @ R @ jnp.linalg.inv(Kv)
+    crops = warp_homography(images, P, out_res)
+    return crops, R
+
+
+def to_homo2d(xy: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
