@@ -40,7 +40,7 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.out_dim, dtype=self.dtype)(x)
 
 

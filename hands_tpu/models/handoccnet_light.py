@@ -183,7 +183,7 @@ class GatedAttentionBlock(nn.Module):
 
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tokens)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype)(y)
         tokens = tokens + y
         return tokens.reshape(B, H, W, C)

@@ -94,7 +94,7 @@ class DecoderLayer(nn.Module):
             nn.LayerNorm(dtype=jnp.float32)(x), context)
         y = nn.LayerNorm(dtype=jnp.float32)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(x.shape[-1], dtype=self.dtype)(y)
         return x + y
 

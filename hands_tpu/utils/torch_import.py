@@ -1,0 +1,146 @@
+"""Torch-checkpoint importers: seed Flax params from released weights.
+
+Covers the reference's pretrained-weight entry points:
+- torchvision ResNet-50/18 ``pretrained=True`` (``src/nets/backbone/
+  resnet.py:294``) -> :func:`import_resnet`
+- ViTPose / HaMeR ViT-H checkpoints (``src/models/hamer_light/model.py:
+  34-44``) -> :func:`import_vit`
+
+Torch (CPU) is only needed at import time; the converted pytrees are plain
+numpy and can be saved with orbax. Layout notes: torch convs are OIHW,
+flax are HWIO; torch Linear weights are (out, in), flax (in, out); our ViT
+stacks blocks along a leading scan axis.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _t2np(t):
+    return np.asarray(t.detach().cpu().numpy())
+
+
+def _conv(w):
+    return _t2np(w).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _linear(w):
+    return _t2np(w).T  # (out, in) -> (in, out)
+
+
+def import_resnet(state_dict: Dict, stage_sizes=(3, 4, 6, 3)) -> Dict:
+    """torchvision ResNet state_dict -> params/batch_stats for
+    hands_tpu.models.backbones.resnet.ResNet (bottleneck variant for
+    stage_sizes=(3,4,6,3); basic-block for (2,2,2,2))."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(src_prefix):
+        return (
+            {"scale": _t2np(state_dict[src_prefix + ".weight"]),
+             "bias": _t2np(state_dict[src_prefix + ".bias"])},
+            {"mean": _t2np(state_dict[src_prefix + ".running_mean"]),
+             "var": _t2np(state_dict[src_prefix + ".running_var"])},
+        )
+
+    params["conv_stem"] = {"kernel": _conv(state_dict["conv1.weight"])}
+    p, s = bn("bn1")
+    params["bn_stem"], stats["bn_stem"] = p, s
+
+    bottleneck = stage_sizes == (3, 4, 6, 3) or "layer1.0.conv3.weight" in state_dict
+    n_convs = 3 if bottleneck else 2
+    for stage_i, blocks in enumerate(stage_sizes):
+        for block_j in range(blocks):
+            src = f"layer{stage_i + 1}.{block_j}"
+            dst = f"stage{stage_i + 1}_block{block_j}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for ci in range(n_convs):
+                bp[f"Conv_{ci}"] = {
+                    "kernel": _conv(state_dict[f"{src}.conv{ci + 1}.weight"])}
+                p, s = bn(f"{src}.bn{ci + 1}")
+                bp[f"BatchNorm_{ci}"], bs[f"BatchNorm_{ci}"] = p, s
+            if f"{src}.downsample.0.weight" in state_dict:
+                bp[f"Conv_{n_convs}"] = {
+                    "kernel": _conv(state_dict[f"{src}.downsample.0.weight"])}
+                p, s = bn(f"{src}.downsample.1")
+                bp[f"BatchNorm_{n_convs}"], bs[f"BatchNorm_{n_convs}"] = p, s
+            params[dst] = bp
+            stats[dst] = bs
+    return {"params": params, "batch_stats": stats}
+
+
+def import_vit(state_dict: Dict, depth: int = 32, scan: bool = True) -> Dict:
+    """ViTPose/HaMeR-style ViT state_dict -> params for ViTBackbone.
+
+    Handles: patch_embed.proj, pos_embed (cls token folded into the grid —
+    the reference adds ``pos_embed[:, :1] + pos_embed[:, 1:]``,
+    vit.py:326-328), per-block qkv/proj/mlp/norms, last_norm. With
+    ``scan=True`` block params are stacked along a leading depth axis.
+    """
+    params: Dict = {}
+    params["patch_embed"] = {
+        "kernel": _conv(state_dict["patch_embed.proj.weight"]),
+        "bias": _t2np(state_dict["patch_embed.proj.bias"]),
+    }
+    pos = _t2np(state_dict["pos_embed"])
+    if pos.shape[1] % 2 == 1:  # leading cls token: fold it in
+        pos = pos[:, 1:] + pos[:, :1]
+    params["pos_embed"] = pos
+
+    def block_params(i):
+        pre = f"blocks.{i}"
+        return {
+            "norm1": {"scale": _t2np(state_dict[f"{pre}.norm1.weight"]),
+                      "bias": _t2np(state_dict[f"{pre}.norm1.bias"])},
+            "norm2": {"scale": _t2np(state_dict[f"{pre}.norm2.weight"]),
+                      "bias": _t2np(state_dict[f"{pre}.norm2.bias"])},
+            "attn": {
+                "qkv": {"kernel": _linear(state_dict[f"{pre}.attn.qkv.weight"]),
+                        "bias": _t2np(state_dict[f"{pre}.attn.qkv.bias"])},
+                "proj": {"kernel": _linear(state_dict[f"{pre}.attn.proj.weight"]),
+                         "bias": _t2np(state_dict[f"{pre}.attn.proj.bias"])},
+            },
+            "mlp": {
+                "Dense_0": {"kernel": _linear(state_dict[f"{pre}.mlp.fc1.weight"]),
+                            "bias": _t2np(state_dict[f"{pre}.mlp.fc1.bias"])},
+                "Dense_1": {"kernel": _linear(state_dict[f"{pre}.mlp.fc2.weight"]),
+                            "bias": _t2np(state_dict[f"{pre}.mlp.fc2.bias"])},
+            },
+        }
+
+    blocks = [block_params(i) for i in range(depth)]
+    if scan:
+        import jax
+
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+        params["blocks"] = {"block": stacked}
+    else:
+        for i, b in enumerate(blocks):
+            params[f"block{i}"] = b
+    params["last_norm"] = {
+        "scale": _t2np(state_dict["last_norm.weight"]),
+        "bias": _t2np(state_dict["last_norm.bias"]),
+    }
+    return {"params": params}
+
+
+def load_torch_state_dict(path: str) -> Dict:
+    """Load a torch checkpoint file to a flat state_dict (CPU)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return ckpt
+
+
+def import_hamer_checkpoint(path: str) -> Dict:
+    """Split a released HaMeR .ckpt into backbone params (model.py:38-44)."""
+    sd = load_torch_state_dict(path)
+    backbone = {k.replace("backbone.", ""): v for k, v in sd.items()
+                if k.startswith("backbone.")}
+    return import_vit(backbone, depth=32, scan=True)
