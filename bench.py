@@ -1,64 +1,147 @@
-"""Benchmark: flagship-model inference throughput on the TPU chip.
+"""Benchmark: inference throughput on the TPU chip, preprocessing included.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.json): crops/sec/chip at batched inference with
-on-device preprocessing. Baseline target: 5000 crops/sec/chip (ViT-H on
-v5e). Until the HaMeR ViT-H path lands, this measures the WildHands
-(hands_light, 2x ResNet-50 + heads + MANO) forward; the metric field says
-which model was measured.
+Headline (default): the flagship WildHands (hands_light) model with the
+fused on-device preprocessing (crop/KPE/normalise) + forward compiled as a
+single XLA program — the BASELINE.json north-star pipeline shape. Baseline
+value: 5000 crops/sec/chip (the driver's ViT-H target; note the v5e
+roofline for ViT-H at 248 GFLOP/crop tops out at ~800 crops/s, see
+BENCH_NOTES.md — WildHands is the reference's flagship and the headline
+here).
+
+Other configs: ``python bench.py --model {hands_light,hamer_vith,
+handoccnet,mano,preprocess}``.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+BASELINE = 5000.0  # BASELINE.json target crops/sec/chip
+
+
+def _time(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_model(method: str, batch_size: int, vit_variant: str = "h",
+                fused_preprocess: bool = True):
+    from hands_tpu.config import default_config
+    from hands_tpu.data.datasets import SyntheticRecordDataset
+    from hands_tpu.data.device_pipeline import DevicePreprocessor, stack_records
+    from hands_tpu.models.registry import fetch_model
+    from hands_tpu.models.hamer_light import HamerLightModel
+
+    cfg = default_config(
+        method if method != "hamer_vith" else "hamer_light",
+        compute_dtype="bfloat16", use_render_seg_loss=False,
+        use_grasp_loss=method == "hands_light",
+    )
+    if method == "hamer_vith":
+        model = HamerLightModel(cfg, vit_variant=vit_variant)
+    else:
+        model = fetch_model(cfg)
+
+    # host records -> stacked raw batch (native-res images)
+    ds = SyntheticRecordDataset(cfg, "train", length=min(batch_size, 8))
+    recs = [ds[i % len(ds)] for i in range(batch_size)]
+    stacked = stack_records(recs)
+    raw = {k: jnp.asarray(v) for k, v in stacked.items()
+           if not k.startswith("_")}
+
+    pre = DevicePreprocessor(cfg, is_train=False)
+
+    def fused(raw, key, variables):
+        inputs, targets, meta = pre._process(raw, key)
+        return model(variables, inputs, meta, train=False)
+
+    key = jax.random.PRNGKey(0)
+    inputs0, _, meta0 = pre._process(
+        jax.tree.map(lambda x: x[:2], raw), key)
+    variables = model.init(jax.random.PRNGKey(0), inputs0, meta0)
+
+    if fused_preprocess:
+        fn = jax.jit(fused)
+        dt = _time(fn, raw, key, variables)
+    else:
+        inputs, _, meta = pre._process(raw, key)
+        fn = jax.jit(lambda v, i, m: model(v, i, m, train=False))
+        dt = _time(fn, variables, inputs, meta)
+    return 2 * batch_size / dt  # 2 hand crops per sample
+
+
+def bench_mano(batch_size: int = 1024):
+    from hands_tpu.ops import mano as manolib
+
+    model = manolib.load_mano(True)
+    rng = np.random.RandomState(0)
+    betas = jnp.asarray(rng.randn(batch_size, 10) * 0.3, jnp.float32)
+    pose = jnp.asarray(rng.randn(batch_size, 45) * 0.2, jnp.float32)
+    orient = jnp.asarray(rng.randn(batch_size, 3) * 0.2, jnp.float32)
+    fn = jax.jit(lambda b, p, o: manolib.mano_forward(model, b, p, o))
+    dt = _time(fn, betas, pose, orient)
+    return batch_size / dt
+
+
+def bench_preprocess(batch_size: int = 64):
+    from hands_tpu.config import default_config
+    from hands_tpu.data.datasets import SyntheticRecordDataset
+    from hands_tpu.data.device_pipeline import DevicePreprocessor, stack_records
+
+    cfg = default_config("hands_light", use_render_seg_loss=False)
+    ds = SyntheticRecordDataset(cfg, "train", length=8)
+    stacked = stack_records([ds[i % 8] for i in range(batch_size)])
+    raw = {k: jnp.asarray(v) for k, v in stacked.items()
+           if not k.startswith("_")}
+    pre = DevicePreprocessor(cfg, is_train=True)
+    key = jax.random.PRNGKey(0)
+    dt = _time(lambda r, k: pre._process(r, k), raw, key)
+    return batch_size / dt
 
 
 def main():
-    from hands_tpu.config import default_config
-    from hands_tpu.data.synthetic import make_batch
-    from hands_tpu.models.hands_light import HandsLightModel
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="hands_light",
+                   choices=["hands_light", "hamer_vith", "handoccnet",
+                            "mano", "preprocess"])
+    p.add_argument("--batch_size", type=int, default=64)
+    args = p.parse_args()
 
-    batch_size = 64
-    cfg = default_config(
-        "hands_light",
-        compute_dtype="bfloat16",
-        use_render_seg_loss=False,  # inference path
-        use_grasp_loss=True,
-    )
-    inputs, targets, meta_info = make_batch(cfg, batch_size=batch_size, seed=0)
-    model = HandsLightModel(cfg)
-    variables = model.init(jax.random.PRNGKey(0), inputs, meta_info)
+    if args.model == "mano":
+        value = bench_mano()
+        metric, unit = "MANO FK fwd/sec/chip bs1024", "fwd/sec"
+    elif args.model == "preprocess":
+        value = bench_preprocess(args.batch_size)
+        metric = f"on-device preprocess samples/sec bs{args.batch_size}"
+        unit = "samples/sec"
+    else:
+        bs = args.batch_size if args.model != "hamer_vith" else max(
+            args.batch_size, 256)
+        value = bench_model(args.model, bs)
+        metric = (f"{args.model} bs{bs} inference crops/sec/chip "
+                  f"(fused on-device preprocessing)")
+        unit = "crops/sec"
 
-    fwd = jax.jit(lambda v, i, m: model(v, i, m, train=False))
-    out = fwd(variables, inputs, meta_info)
-    jax.block_until_ready(out)
-
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwd(variables, inputs, meta_info)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iter
-
-    # 2 hand crops per sample (R+L) — "crops/sec" in the reference's sense
-    crops_per_sec = 2 * batch_size / dt
-    baseline = 5000.0  # BASELINE.json north-star target (ViT-H crops/s/chip)
-    print(
-        json.dumps(
-            {
-                "metric": f"hands_light bs{batch_size} inference crops/sec/chip",
-                "value": round(crops_per_sec, 1),
-                "unit": "crops/sec",
-                "vs_baseline": round(crops_per_sec / baseline, 3),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 1),
+        "unit": unit,
+        "vs_baseline": round(float(value) / BASELINE, 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,63 @@ def crop_adjusted_intrinsics(
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+# -------------------------------------------------------------- misc utils
+def get_coord_maps(size: int = 56) -> jnp.ndarray:
+    """CoordConv-style [-1, 1] xy channel maps, NHWC (B=1, size, size, 2)
+    (reference camera.py:259)."""
+    r = jnp.linspace(-1.0, 1.0, size)
+    yy, xx = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([xx, yy], axis=-1)[None]
+
+
+def look_at(eye: jnp.ndarray, at=None, up=None, eps: float = 1e-5) -> jnp.ndarray:
+    """Camera rotation(s) looking from ``eye`` (B, 3) at ``at``; columns are
+    the camera x/y/z axes (reference camera.py:291)."""
+    eye = jnp.asarray(eye, jnp.float32).reshape(-1, 3)
+    at = jnp.zeros(3) if at is None else jnp.asarray(at, jnp.float32)
+    up = jnp.asarray([0.0, 0.0, 1.0]) if up is None else jnp.asarray(up, jnp.float32)
+
+    def norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+    z = norm(eye - at[None])
+    x = norm(jnp.cross(jnp.broadcast_to(up, z.shape), z))
+    y = norm(jnp.cross(z, x))
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def to_sphere(u, v):
+    """(u, v) in [0,1]^2 -> unit-sphere point (uniform)."""
+    theta = 2 * jnp.pi * u
+    phi = jnp.arccos(1 - 2 * v)
+    return jnp.stack(
+        [jnp.sin(phi) * jnp.cos(theta), jnp.sin(phi) * jnp.sin(theta),
+         jnp.cos(phi)], axis=-1)
+
+
+def sample_pose_on_sphere(key, radius: float = 1.0, up=(0.0, 1.0, 0.0)):
+    """Random camera pose on a sphere -> (3, 4) [R | t] (camera.py:322-349)."""
+    import jax
+
+    u, v = jax.random.uniform(key, (2,))
+    loc = to_sphere(u, v) * radius
+    R = look_at(loc[None], up=jnp.asarray(up))[0]
+    return jnp.concatenate([R, loc.reshape(3, 1)], axis=1)
+
+
+def rectify_pose(camera_r: jnp.ndarray, body_aa: jnp.ndarray,
+                 rotate_x: bool = False) -> jnp.ndarray:
+    """Compose a camera rotation into axis-angle global orientations
+    (camera.py:352)."""
+    from hands_tpu.core import rot as rotlib
+
+    body_R = rotlib.axis_angle_to_matrix(body_aa.reshape(-1, 3))
+    if rotate_x:
+        Rx = jnp.asarray([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+        body_R = body_R @ Rx
+    return rotlib.matrix_to_axis_angle(camera_r @ body_R)
+
+
 # ------------------------------------------------------- DLT translation solve
 def estimate_translation(
     S: jnp.ndarray,

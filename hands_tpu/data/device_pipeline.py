@@ -99,6 +99,7 @@ class DevicePreprocessor:
         img = pp.rgb_crop_augment(
             batch["image"], center, bbox_dim, augm, res,
             antialias=self.is_train, method="bilinear",
+            apply_rot=self.is_train,
         )
 
         # ---- 3. GT keypoints into (normalised) patch space
@@ -203,7 +204,8 @@ class DevicePreprocessor:
             targets["grasp_valid_l"] = batch["grasp_valid_l"]
         if self.cfg.use_render_seg_loss:
             if "mask" in batch:
-                m = pp.mask_crop(batch["mask"], center, bbox_dim, augm, res)
+                m = pp.mask_crop(batch["mask"], center, bbox_dim, augm, res,
+                                 apply_rot=self.is_train)
                 m = m[..., 0]
                 # mask coding: R=255, L=127 (epic_seg_dataset.py:134-135)
                 targets["render.r"] = (jnp.abs(m - 255.0) < 32).astype(jnp.float32)
@@ -215,7 +217,8 @@ class DevicePreprocessor:
             targets["render_valid_l"] = batch["mask_valid_l"]
         if self.cfg.use_depth_loss:
             if "depth" in batch:
-                d = pp.mask_crop(batch["depth"], center, bbox_dim, augm, res)
+                d = pp.mask_crop(batch["depth"], center, bbox_dim, augm, res,
+                                 apply_rot=self.is_train)
                 targets["depth.r"] = d[..., 0]
                 targets["depth.l"] = d[..., 0]
             else:

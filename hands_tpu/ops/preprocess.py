@@ -131,6 +131,83 @@ def warp_affine(
     return out.reshape(B, out_res, out_res, images.shape[-1])
 
 
+# ------------------------------------------------- separable (MXU) resample
+def _interp_weights(src: jnp.ndarray, in_size: int, method: str) -> jnp.ndarray:
+    """Interpolation weight matrix W (..., out, in): out = W @ signal.
+
+    Rows are the bilinear hat (or Keys bicubic) evaluated at the fractional
+    source coordinate; coordinates outside [0, in) produce (near-)zero rows,
+    matching the gather path's zero border.
+    """
+    idx = jnp.arange(in_size, dtype=src.dtype)
+    d = src[..., None] - idx  # (..., out, in)
+    if method == "bilinear":
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    elif method == "cubic":
+        w = _cubic_kernel(d)
+    elif method == "nearest":
+        w = (jnp.abs(d) <= 0.5).astype(src.dtype)
+    else:
+        raise ValueError(method)
+    # no explicit border mask: weights vanish for out-of-range coordinates,
+    # which reproduces the gather path's zero border exactly
+    return w
+
+
+def separable_resample(
+    images: jnp.ndarray,  # (B, H, W, C)
+    y_src: jnp.ndarray,  # (B, outH) source y for each output row
+    x_src: jnp.ndarray,  # (B, outW) source x for each output column
+    method: str = "bilinear",
+) -> jnp.ndarray:
+    """Axis-aligned resample as two batched matmuls (TPU-native warp).
+
+    Per-pixel gathers run at ~1e8 elem/s on TPU and dominate the pipeline;
+    the same resample expressed as interpolation-weight matmuls rides the
+    MXU at TFLOP rates (~1000x faster at 224^2 x batch 64). Only valid for
+    zero-rotation affine maps — rotation composes as a separate pass.
+    """
+    with jax.default_matmul_precision("float32"):
+        Wy = _interp_weights(y_src, images.shape[1], method)  # (B, oh, H)
+        Wx = _interp_weights(x_src, images.shape[2], method)  # (B, ow, W)
+        tmp = jnp.einsum("boh,bhwc->bowc", Wy, images)
+        return jnp.einsum("bpw,bowc->bopc", Wx, tmp)
+
+
+def crop_resize_separable(
+    images: jnp.ndarray,  # (B, H, W, C)
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    src_size: jnp.ndarray,
+    out_res: int,
+    method: str = "bilinear",
+) -> jnp.ndarray:
+    """Axis-aligned square crop+resize (the rot=0 case of ``crop_transform``
+    + ``warp_affine``) on the MXU."""
+    s = src_size / out_res
+    half = out_res / 2.0
+    grid = jnp.arange(out_res, dtype=jnp.float32)
+    x_src = s[:, None] * grid[None, :] + (cx - s * half)[:, None]
+    y_src = s[:, None] * grid[None, :] + (cy - s * half)[:, None]
+    return separable_resample(images, y_src, x_src, method=method)
+
+
+def rotate_patch(
+    images: jnp.ndarray,  # (B, R, R, C) square patch
+    rot_deg: jnp.ndarray,  # (B,)
+    method: str = "bilinear",
+) -> jnp.ndarray:
+    """Rotate square patches about their centre (gather path; training-only —
+    60% of train samples have rot==0 and eval always does, so the hot
+    inference pipeline never pays for gathers)."""
+    res = images.shape[1]
+    M = crop_transform(
+        jnp.full_like(rot_deg, res / 2.0), jnp.full_like(rot_deg, res / 2.0),
+        jnp.full_like(rot_deg, float(res)), rot_deg, res,
+    )
+    return warp_affine(images, M, res, method=method)
+
+
 def gaussian_blur(images: jnp.ndarray, kernel: int = 5, sigma: float = 8.0):
     """Separable Gaussian blur, NHWC (the reference's cv2 anti-alias pass)."""
     half = kernel // 2
@@ -197,16 +274,27 @@ def rgb_crop_augment(
     augm: dict,
     img_res: int,
     antialias: bool = True,
-    method: str = "cubic",
+    method: str = "bilinear",
+    apply_rot: bool = True,
 ) -> jnp.ndarray:
     """Batched ``rgb_processing``: blur -> rotated square crop of side
-    ``sc * bbox_dim * 200`` -> channel noise -> [0,1] NHWC float."""
+    ``sc * bbox_dim * 200`` -> channel noise -> [0,1] NHWC float.
+
+    TPU decomposition: the isotropic crop+scale runs as a separable MXU
+    resample; the (train-only) in-plane rotation is a second pass on the
+    small patch. Isotropic scaling commutes with rotation about the patch
+    centre, so the composition equals the reference's single rotated warp
+    up to interpolation softness. ``apply_rot`` must be static: eval
+    pipelines skip the gather pass entirely.
+    """
     imgs = images.astype(jnp.float32)
     if antialias:
         imgs = gaussian_blur(imgs)
     crop_dim = augm["sc"] * bbox_dim * 200.0
-    M = crop_transform(center[:, 0], center[:, 1], crop_dim, augm["rot"], img_res)
-    patch = warp_affine(imgs, M, img_res, method=method)
+    patch = crop_resize_separable(
+        imgs, center[:, 0], center[:, 1], crop_dim, img_res, method=method)
+    if apply_rot:
+        patch = rotate_patch(patch, augm["rot"], method=method)
     patch = jnp.clip(patch * augm["pn"][:, None, None, :], 0.0, 255.0)
     return patch / 255.0
 
@@ -214,13 +302,18 @@ def rgb_crop_augment(
 def mask_crop(
     masks: jnp.ndarray, center: jnp.ndarray, bbox_dim: jnp.ndarray, augm: dict,
     img_res: int,
+    apply_rot: bool = True,
 ) -> jnp.ndarray:
     """Batched ``mask_processing``: nearest-neighbour crop, no blur/noise."""
     crop_dim = augm["sc"] * bbox_dim * 200.0
-    M = crop_transform(center[:, 0], center[:, 1], crop_dim, augm["rot"], img_res)
     if masks.ndim == 3:
         masks = masks[..., None]
-    return warp_affine(masks.astype(jnp.float32), M, img_res, method="nearest")
+    patch = crop_resize_separable(
+        masks.astype(jnp.float32), center[:, 0], center[:, 1], crop_dim,
+        img_res, method="nearest")
+    if apply_rot:
+        patch = rotate_patch(patch, augm["rot"], method="nearest")
+    return patch
 
 
 # ----------------------------------------------------------- keypoint math
@@ -285,15 +378,17 @@ def crop_and_pad_images(
     bbox_xyxy: jnp.ndarray,  # (B, 4)
     out_res: int,
     scale: float = 1.5,
-    method: str = "cubic",
+    method: str = "bilinear",
 ) -> jnp.ndarray:
-    """Crop the (already-augmented) full patch to the per-hand square box."""
+    """Crop the (already-augmented) full patch to the per-hand square box.
+
+    Always axis-aligned -> separable MXU resample (no gathers)."""
     x0, y0, x1, y1 = (bbox_xyxy[:, i] for i in range(4))
     cx = (x0 + x1) / 2.0
     cy = (y0 + y1) / 2.0
     size = jnp.maximum(x1 - x0, y1 - y0) * scale
-    M = crop_transform(cx, cy, size, jnp.zeros_like(cx), out_res)
-    return jnp.clip(warp_affine(images, M, out_res, method=method), 0.0, 1.0)
+    out = crop_resize_separable(images, cx, cy, size, out_res, method=method)
+    return jnp.clip(out, 0.0, 1.0)
 
 
 # ------------------------------------------------------------------- KPE

@@ -185,3 +185,37 @@ def test_full_pipeline_jit_and_batched():
     assert out.shape == (B, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
     assert np.isfinite(np.asarray(ca)).all()
+
+
+def test_separable_matches_gather_warp():
+    """Axis-aligned separable resample == general gather warp."""
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(2, 120, 160, 3).astype(np.float32))
+    cx = jnp.asarray([80.0, 60.0])
+    cy = jnp.asarray([60.0, 70.0])
+    size = jnp.asarray([90.0, 150.0])
+    M = pp.crop_transform(cx, cy, size, jnp.zeros(2), 64)
+    ref = pp.warp_affine(img, M, 64, method="bilinear")
+    sep = pp.crop_resize_separable(img, cx, cy, size, 64, method="bilinear")
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(ref), atol=1e-4)
+
+
+def test_two_pass_rotation_matches_single_warp():
+    """crop+scale then rotate-about-centre == one rotated warp (isotropic
+    scale commutes with rotation)."""
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.rand(1, 200, 200, 1).astype(np.float32))
+    img = jnp.asarray(
+        np.outer(np.sin(np.arange(200) / 9.0),
+                 np.cos(np.arange(200) / 7.0)).astype(np.float32)
+    )[None, :, :, None]
+    cx, cy = jnp.asarray([100.0]), jnp.asarray([100.0])
+    size, rot = jnp.asarray([120.0]), jnp.asarray([25.0])
+    M = pp.crop_transform(cx, cy, size, rot, 96)
+    ref = pp.warp_affine(img, M, 96, method="bilinear")
+    two = pp.crop_resize_separable(img, cx, cy, size, 96, "bilinear")
+    two = pp.rotate_patch(two, rot, "bilinear")
+    # compare interiors (double interpolation softens; borders differ)
+    d = np.abs(np.asarray(two) - np.asarray(ref))[0, 12:-12, 12:-12]
+    assert np.median(d) < 0.01, np.median(d)
+    assert np.percentile(d, 95) < 0.05

@@ -1,0 +1,55 @@
+"""Aux utils: profiling timer, viewer, sys utils, experiment logging."""
+
+import os
+
+import numpy as np
+
+
+def test_step_timer():
+    import time
+
+    from hands_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        t.start()
+        time.sleep(0.01)
+        t.stop()
+    s = t.summary()
+    assert s["steps"] == 3
+    assert 5 < s["mean_ms"] < 100
+
+
+def test_viewer_gif_and_strip(tmp_path):
+    from hands_tpu.utils.viewer import render_sequence, save_gif, save_strip
+
+    T, H, W = 3, 64, 64
+    images = np.zeros((T, H, W, 3), np.float32)
+    verts = np.asarray(
+        [[[-0.03, -0.03, 0.5], [0.03, -0.03, 0.5], [0.0, 0.03, 0.5]]] * T,
+        np.float32)
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    K = np.asarray([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    frames = render_sequence(images, [verts], [faces], K, sideview=True)
+    assert frames.shape == (T, H, 2 * W, 3)
+    gif = save_gif(frames, str(tmp_path / "seq.gif"))
+    strip = save_strip(frames, str(tmp_path / "strip.png"))
+    assert os.path.getsize(gif) > 0 and os.path.getsize(strip) > 0
+
+
+def test_sys_utils(tmp_path):
+    from hands_tpu.utils.sys_utils import copy_repo, mkdir, reset_all_seeds
+
+    d = mkdir(str(tmp_path / "a/b"))
+    assert os.path.isdir(d)
+    src = tmp_path / "src"
+    os.makedirs(src / "logs")
+    (src / "x.py").write_text("pass")
+    (src / "logs" / "junk.txt").write_text("no")
+    copy_repo(str(src), str(tmp_path / "dst"))
+    assert os.path.exists(tmp_path / "dst" / "x.py")
+    assert not os.path.exists(tmp_path / "dst" / "logs")
+    reset_all_seeds(3)
+    a = np.random.rand()
+    reset_all_seeds(3)
+    assert np.random.rand() == a
