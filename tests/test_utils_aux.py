@@ -53,3 +53,29 @@ def test_sys_utils(tmp_path):
     a = np.random.rand()
     reset_all_seeds(3)
     assert np.random.rand() == a
+
+
+def test_mesh_cat_and_export(tmp_path):
+    from hands_tpu.core.mesh import Mesh
+
+    m1 = Mesh(np.zeros((3, 3)), np.asarray([[0, 1, 2]])).set_vc([1, 0, 0])
+    m2 = Mesh(np.ones((3, 3)), np.asarray([[0, 1, 2]]))
+    cat = Mesh.cat([m1, m2])
+    assert cat.v.shape == (6, 3)
+    assert (cat.f[1] == [3, 4, 5]).all()
+    p = cat.export_obj(str(tmp_path / "m.obj"))
+    assert "v 0.0 0.0 0.0" in open(p).read()
+
+
+def test_thing_conversions():
+    import jax.numpy as jnp
+
+    from hands_tpu.core import thing
+
+    nest = {"a": jnp.ones(3), "b": [np.zeros(2), 5], "c": (jnp.ones(1),)}
+    as_np = thing.thing2np(nest)
+    assert isinstance(as_np["a"], np.ndarray)
+    as_list = thing.thing2list(as_np)
+    assert as_list["a"] == [1.0, 1.0, 1.0]
+    back = thing.thing2jax(as_np)
+    assert isinstance(back["a"], jnp.ndarray)
