@@ -112,11 +112,29 @@ def eval_pix_err(pred, targets, meta_info) -> XDict:
     return out
 
 
+def eval_pck(pred, targets, meta_info, thresholds=(5.0, 10.0, 15.0)) -> XDict:
+    """PCK@px over both hands (the EPIC-HandKps sweep's summary statistic):
+    fraction of valid joints within each pixel threshold."""
+    is_valid = targets["is_valid"]
+    rv = targets["joints_valid_r"] * (targets["right_valid"] * is_valid)[:, None]
+    lv = targets["joints_valid_l"] * (targets["left_valid"] * is_valid)[:, None]
+    pix_r = pixel_error(targets["mano.j2d.r"][..., :2], pred["mano.j2d.r"], rv)
+    pix_l = pixel_error(targets["mano.j2d.l"][..., :2], pred["mano.j2d.l"], lv)
+    pix = jnp.concatenate([pix_r, pix_l], axis=1)
+    out = XDict()
+    for t in thresholds:
+        hit = jnp.where(jnp.isfinite(pix), (pix < t).astype(jnp.float32),
+                        jnp.nan)
+        out[f"pck/{t:.0f}px"] = _nanmean(hit, axis=1) * 100.0
+    return out
+
+
 eval_fn_dict = {
     "mpjpe.ra": eval_mpjpe_ra,
     "mpjpe.pa.ra": eval_mpjpe_pa_ra,
     "mrrpe.rl": eval_mrrpe_rl,
     "pix_err": eval_pix_err,
+    "pck": eval_pck,
 }
 
 

@@ -20,7 +20,7 @@ def tiny_cfg(**kw):
         compute_dtype="float32",
         use_render_seg_loss=False,
         use_grasp_loss=False,
-        use_glb_feat=False,
+        use_glb_feat=False, img_res=160, img_res_ds=160,
     )
     base.update(kw)
     return default_config("hands_light", **base)

@@ -189,3 +189,40 @@ def test_masked_procrustes_ignores_invalid_joints(rng):
     S1_hat = similarity_align_masked(S1, S2_bad, valid)
     np.testing.assert_allclose(
         np.asarray(S1_hat[:, :18]), np.asarray(S2[:, :18]), atol=1e-3)
+
+
+def test_prepare_templates_and_interfield():
+    from hands_tpu.core.object_tensors import build_object_tensors
+    from hands_tpu.train.process_object import (
+        prepare_interfield, prepare_mano_template, prepare_object_template,
+    )
+
+    model = manolib.load_mano(True)
+    ref, ref_full = prepare_mano_template(2, model, True)
+    assert ref.shape == (2, 21 + 195, 3)
+    assert ref_full.shape == (2, 21 + 778, 3)
+    # root-normalised: wrist at origin
+    np.testing.assert_allclose(np.asarray(ref[0, 0]), 0.0, atol=1e-5)
+
+    tensors = build_object_tensors()
+    v_sub, pidx, v_full, mask = prepare_object_template(
+        2, tensors, jnp.asarray([0, 3]))
+    assert v_sub.shape[0] == 2 and v_sub.shape[2] == 3
+    np.testing.assert_allclose(np.asarray(v_sub.mean(axis=1)), 0.0, atol=1e-4)
+
+    # interfield: hand touching object -> zero distances at contact verts
+    B, Vo = 2, 50
+    rng_ = np.random.RandomState(0)
+    v_o = jnp.asarray(rng_.randn(B, Vo, 3).astype(np.float32))
+    targets = XDict({
+        "object.v.cam": v_o,
+        "object.v_len": jnp.full((B,), Vo, jnp.int32),
+        "mano.v3d.cam.r": v_o[:, :40][:, np.linspace(0, 39, 778).astype(int)],
+        "mano.v3d.cam.l": jnp.asarray(rng_.randn(B, 778, 3), jnp.float32) + 5,
+    })
+    out = prepare_interfield(targets)
+    # matmul-form |a-b|^2 has ~sqrt(eps)*scale cancellation error (~1e-3 at
+    # unit scale) — far below the 3mm contact threshold the fields feed
+    np.testing.assert_allclose(np.asarray(out["dist.ro"]), 0.0, atol=2e-3)
+    assert float(out["dist.lo"].min()) >= 0.09  # clamped far distances
+    assert out["idx.or"].shape == (B, Vo)

@@ -22,7 +22,7 @@ def tiny_cfg(tmp_path, **kw):
         backbone="resnet18", compute_dtype="float32", use_glb_feat=False,
         use_render_seg_loss=False, use_grasp_loss=False, batch_size=2,
         test_batch_size=2, eval_every_epoch=1, log_every=2,
-        val_dataset="synthetic", dataset="synthetic",
+        val_dataset="synthetic", dataset="synthetic", img_res=160, img_res_ds=160,
     )
     base.update(kw)
     return default_config("hands_light", **base)
