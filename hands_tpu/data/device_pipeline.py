@@ -146,6 +146,28 @@ class DevicePreprocessor:
             l_img = pp.crop_and_pad_images(img, l_bbox, cfg.img_res_ds,
                                            scale=1.0, method="bilinear")
 
+        # ---- horizontal flip (augm): mirror pixels; bboxes mirror AND swap
+        # sides (reference hands_light_dataset.py:190-197 — the model's
+        # flip-swap then un-mirrors the predictions). GT targets stay.
+        flip = augm["flip"].reshape(B, 1, 1, 1)
+
+        def flip_img(x):
+            return jnp.where(flip > 0, x[:, :, ::-1, :], x)
+
+        img = flip_img(img)
+        r_img = flip_img(r_img)
+        l_img = flip_img(l_img)
+
+        def mirror_bbox(bb):
+            x0, y0, x1, y1 = (bb[:, i] for i in range(4))
+            return jnp.stack([res - 1 - x1, y0, res - 1 - x0, y1], axis=-1)
+
+        fb = augm["flip"].reshape(B, 1)
+        r_bbox, l_bbox = (
+            jnp.where(fb > 0, mirror_bbox(l_bbox), r_bbox),
+            jnp.where(fb > 0, mirror_bbox(r_bbox), l_bbox),
+        )
+
         inputs = XDict({
             "img": pp.normalize_imagenet(img, cfg.img_norm_mean, cfg.img_norm_std),
             "r_img": pp.normalize_imagenet(r_img, cfg.img_norm_mean, cfg.img_norm_std),

@@ -136,3 +136,32 @@ def test_pipeline_feeds_model_end_to_end():
     pred = model(variables, inputs, meta_dev, train=False)
     ld = compute_loss_light(pred, targets, meta_dev, cfg)
     assert np.isfinite(float(total_loss(ld)))
+
+
+def test_flip_augmentation_mirrors_and_swaps():
+    """flip=1: pixels mirror, bboxes mirror AND swap sides, targets stay."""
+    cfg = cfg_small(flip_prob=1.0)
+    ds = SyntheticRecordDataset(cfg, "train", length=2)
+    stacked = stack_records([ds[0], ds[1]])
+
+    pre_on = DevicePreprocessor(cfg, is_train=True)
+    pre_off = DevicePreprocessor(cfg.replace(flip_prob=0.0), is_train=True)
+    key = jax.random.PRNGKey(7)
+    i1, t1, m1 = pre_on(stacked, key)
+    i0, t0, m0 = pre_off(stacked, key)
+
+    assert np.asarray(m1["is_flipped"]).sum() == 2
+    assert np.asarray(m0["is_flipped"]).sum() == 0
+    # the full image is the horizontal mirror of the unflipped one
+    np.testing.assert_allclose(
+        np.asarray(i1["img"]), np.asarray(i0["img"])[:, :, ::-1, :], atol=1e-5)
+    # r_bbox is the mirrored l_bbox
+    res = cfg.img_res
+    l0 = np.asarray(i0["l_bbox"])
+    expect_r = np.stack(
+        [res - 1 - l0[:, 2], l0[:, 1], res - 1 - l0[:, 0], l0[:, 3]], -1)
+    np.testing.assert_allclose(np.asarray(i1["r_bbox"]), expect_r, atol=1e-4)
+    # targets unchanged
+    np.testing.assert_allclose(
+        np.asarray(t1["mano.j2d.norm.r"]), np.asarray(t0["mano.j2d.norm.r"]),
+        atol=1e-6)
