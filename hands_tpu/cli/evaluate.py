@@ -10,6 +10,7 @@ import sys
 
 def main(argv=None):
     from hands_tpu.config import construct_args
+    from hands_tpu.core.xdict import device_view
 
     cfg = construct_args(argv)
     if cfg.debug or cfg.fast_dev_run:
@@ -29,7 +30,7 @@ def main(argv=None):
 
     first = next(iter(val_loader))
     inputs, _, meta = first
-    variables = model.init(jax.random.PRNGKey(0), inputs, meta.rm("imgname"))
+    variables = model.init(jax.random.PRNGKey(0), inputs, device_view(meta))
     state = create_train_state(cfg, variables)
 
     if cfg.infer_ckpt:

@@ -14,6 +14,7 @@ def main(argv=None):
     import numpy as np
 
     from hands_tpu.config import construct_args
+    from hands_tpu.core.xdict import device_view
     from hands_tpu.data.factory import fetch_dataloader
     from hands_tpu.models.registry import fetch_model
     from hands_tpu.train.checkpoint import CheckpointManager
@@ -28,7 +29,7 @@ def main(argv=None):
 
     first = next(iter(loader))
     inputs, _, meta = first
-    variables = model.init(jax.random.PRNGKey(0), inputs, meta.rm("imgname"))
+    variables = model.init(jax.random.PRNGKey(0), inputs, device_view(meta))
     state = create_train_state(cfg, variables)
     if cfg.infer_ckpt:
         ckpt = CheckpointManager(os.path.dirname(cfg.infer_ckpt))
@@ -41,7 +42,7 @@ def main(argv=None):
     keep_keys = ["feat_vec", "mano.cam_t.r", "mano.cam_t.l",
                  "mano.beta.r", "mano.beta.l"]
     for inputs, targets, meta in loader:
-        meta_dev = meta.rm("imgname")
+        meta_dev = device_view(meta)
         pred = fwd({"params": state.params,
                     "batch_stats": state.batch_stats}, inputs, meta_dev)
         for i, imgname in enumerate(meta["imgname"]):

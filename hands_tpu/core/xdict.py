@@ -142,3 +142,12 @@ def _xdict_unflatten(keys, children) -> XDict:
 
 
 jax.tree_util.register_pytree_node(XDict, _xdict_flatten, _xdict_unflatten)
+
+
+HOST_ONLY_KEYS = ("imgname", "num_valid", "dataset_name")
+
+
+def device_view(meta: "XDict") -> "XDict":
+    """Strip host-only bookkeeping keys (strings, python ints) before a
+    batch enters a jitted step."""
+    return XDict({k: v for k, v in meta.items() if k not in HOST_ONLY_KEYS})

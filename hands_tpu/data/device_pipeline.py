@@ -290,9 +290,23 @@ class DeviceDataLoader:
                            self.batch_size):
             idx = order[start:start + self.batch_size]
             records = [self.dataset[int(i)] for i in idx]
+            n_pad = self.batch_size - len(records)
+            if n_pad > 0:
+                # pad the tail batch to the fixed shape (one compiled program
+                # for the whole sweep); padded samples are invalidated so
+                # NaN-masked metrics ignore them
+                import copy as _copy
+
+                for _ in range(n_pad):
+                    pad = _copy.copy(records[-1])
+                    pad.is_valid = 0.0
+                    pad.right_valid = 0.0
+                    pad.left_valid = 0.0
+                    records.append(pad)
             stacked = stack_records(records)
             key, sub = jax.random.split(key)
             inputs, targets, meta = self.pre(stacked, sub)
             meta = XDict(meta)
-            meta["imgname"] = stacked["_imgnames"]
+            meta["imgname"] = stacked["_imgnames"][: self.batch_size - n_pad]
+            meta["num_valid"] = self.batch_size - n_pad
             yield inputs, targets, meta

@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from hands_tpu.config import Config
+from hands_tpu.core.xdict import device_view
 from hands_tpu.train.checkpoint import CheckpointManager
 from hands_tpu.train.state import create_train_state
 from hands_tpu.train.step import make_eval_step, make_train_step
@@ -45,7 +46,7 @@ class Trainer:
 
         first = next(iter(train_loader))
         inputs, _, meta = first
-        meta_dev = meta.rm("imgname")
+        meta_dev = device_view(meta)
         variables = self.model.init(jax.random.PRNGKey(cfg.seed), inputs, meta_dev)
         state = create_train_state(cfg, variables, steps_per_epoch=len(train_loader))
 
@@ -72,7 +73,7 @@ class Trainer:
             t0 = time.time()
             for batch in train_loader:
                 inputs, targets, meta = batch
-                meta_dev = meta.rm("imgname")
+                meta_dev = device_view(meta)
                 rng, sub = jax.random.split(rng)
                 state, logs = self.train_step(state, (inputs, targets, meta_dev), sub)
                 global_step += 1
@@ -104,7 +105,7 @@ class Trainer:
 
         batch = next(iter(loader))
         inputs, targets, meta = batch
-        meta_dev = meta.rm("imgname")
+        meta_dev = device_view(meta)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         pred = self.model(variables, inputs, meta_dev, train=False)
         vis_dict = XDict()
@@ -122,7 +123,7 @@ class Trainer:
     def _sanity_val(self, state, val_loader):
         batch = next(iter(val_loader))
         inputs, targets, meta = batch
-        self.eval_step(state, (inputs, targets, meta.rm("imgname")))
+        self.eval_step(state, (inputs, targets, device_view(meta)))
 
     def validate(self, state, val_loader) -> dict:
         """Eval epoch: nanmean of per-image metric arrays + mean losses
@@ -132,7 +133,7 @@ class Trainer:
         for batch in val_loader:
             inputs, targets, meta = batch
             metrics, logs = self.eval_step(
-                state, (inputs, targets, meta.rm("imgname")))
+                state, (inputs, targets, device_view(meta)))
             for k, v in metrics.items():
                 metric_arrays[k].append(np.asarray(v))
             for k, v in logs.items():

@@ -127,7 +127,7 @@ def test_pipeline_feeds_model_end_to_end():
     ds = SyntheticRecordDataset(cfg, "train", length=2)
     loader = DeviceDataLoader(ds, cfg, batch_size=2, is_train=True, seed=0)
     inputs, targets, meta = next(iter(loader))
-    meta_dev = meta.rm("imgname")
+    meta_dev = __import__("hands_tpu.core.xdict", fromlist=["device_view"]).device_view(meta)
 
     model = HandsLightModel(cfg)
     variables = model.init(jax.random.PRNGKey(0), inputs, meta_dev)
@@ -165,3 +165,19 @@ def test_flip_augmentation_mirrors_and_swaps():
     np.testing.assert_allclose(
         np.asarray(t1["mano.j2d.norm.r"]), np.asarray(t0["mano.j2d.norm.r"]),
         atol=1e-6)
+
+
+def test_tail_batch_padded_to_fixed_shape():
+    """drop_last=False: the tail batch pads to batch_size with invalidated
+    samples (one compiled program for a whole eval sweep)."""
+    cfg = cfg_small()
+    ds = SyntheticRecordDataset(cfg, "train", length=5)
+    loader = DeviceDataLoader(ds, cfg, batch_size=2, is_train=False,
+                              drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    last_inputs, last_targets, last_meta = batches[-1]
+    assert last_inputs["img"].shape[0] == 2  # padded to full size
+    assert last_meta["num_valid"] == 1
+    assert len(last_meta["imgname"]) == 1
+    assert float(np.asarray(last_targets["is_valid"])[1]) == 0.0

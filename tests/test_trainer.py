@@ -63,7 +63,7 @@ def test_checkpoint_roundtrip(tmp_path):
     ds = SyntheticRecordDataset(cfg, "train", length=2)
     loader = DeviceDataLoader(ds, cfg, 2, is_train=False)
     inputs, _, meta = next(iter(loader))
-    variables = model.init(jax.random.PRNGKey(0), inputs, meta.rm("imgname"))
+    variables = model.init(jax.random.PRNGKey(0), inputs, __import__("hands_tpu.core.xdict", fromlist=["device_view"]).device_view(meta))
     state = create_train_state(cfg, variables)
 
     ckpt = CheckpointManager(str(tmp_path / "ckpts"))
@@ -85,7 +85,7 @@ def test_checkpoint_topk_eviction(tmp_path):
     ds = SyntheticRecordDataset(cfg, "train", length=2)
     loader = DeviceDataLoader(ds, cfg, 2, is_train=False)
     inputs, _, meta = next(iter(loader))
-    variables = model.init(jax.random.PRNGKey(0), inputs, meta.rm("imgname"))
+    variables = model.init(jax.random.PRNGKey(0), inputs, __import__("hands_tpu.core.xdict", fromlist=["device_view"]).device_view(meta))
     state = create_train_state(cfg, variables)
 
     ckpt = CheckpointManager(str(tmp_path / "ck"), top_k=2)
