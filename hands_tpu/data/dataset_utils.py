@@ -60,6 +60,40 @@ def pad_jts2d(jts: np.ndarray) -> np.ndarray:
     return np.concatenate([jts, np.ones((num_jts, 1), jts.dtype)], axis=1)
 
 
+def transform_kp2d_to_crop(kp2d: np.ndarray, bbox_cxcys) -> np.ndarray:
+    """Map full-image 2D keypoints into the pre-cropped (speedup) image's
+    coordinate system (reference ``data_utils.transform_kp2d:256``: crop is
+    max-side x1.5 of the (cx, cy, scale) box, resized to 1000px)."""
+    cx, cy, scale = bbox_cxcys
+    s = 200 * scale
+    factor = 1000.0 / (1.5 * s)
+    out = kp2d.copy()
+    out[:, 0] = (out[:, 0] - (cx - 1.5 / 2 * s)) * factor
+    out[:, 1] = (out[:, 1] - (cy - 1.5 / 2 * s)) * factor
+    return out
+
+
+def transform_2d_for_speedup(speedup: bool, is_egocam: bool,
+                             joints2d_r, joints2d_l, bbox_crop,
+                             ego_image_scale: float):
+    """Remap labels for pre-cropped ("speedup") images
+    (reference ``transform_2d_for_speedup_light:90``): egocam images are
+    uniformly downscaled; static-cam images are crop-resampled to 1000px."""
+    joints2d_r = np.copy(joints2d_r)
+    joints2d_l = np.copy(joints2d_l)
+    bbox_crop = list(bbox_crop)
+    if speedup:
+        if is_egocam:
+            joints2d_r[:, :2] *= ego_image_scale
+            joints2d_l[:, :2] *= ego_image_scale
+            bbox_crop = [v * ego_image_scale for v in bbox_crop]
+        else:
+            joints2d_r = transform_kp2d_to_crop(joints2d_r, bbox_crop)
+            joints2d_l = transform_kp2d_to_crop(joints2d_l, bbox_crop)
+            bbox_crop = [500.0, 500.0, 1000.0 / (1.5 * 200)]
+    return joints2d_r, joints2d_l, bbox_crop
+
+
 def get_valid(j2d: np.ndarray, img_w: int, img_h: int, min_visible: int = 3):
     """Per-joint visibility from in-frame test + sample validity (>=3 joints
     visible, epic_dataset.py:499-500)."""

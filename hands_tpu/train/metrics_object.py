@@ -202,7 +202,47 @@ def compute_mdev(
     return float(np.mean(devs) * 1000.0)
 
 
+def eval_mrrpe_ro(pred, targets, meta_info) -> XDict:
+    """Hand-root to object-root relative position error (eval_modules.py:345):
+    object root = mean of bottom-part vertices, masked-padded."""
+    is_valid = targets["is_valid"]
+    rv = targets["right_valid"] * is_valid
+    mask = meta_info["object.v.mask"]
+    bottom = (meta_info["part_ids"] == 2) * mask
+
+    def obj_root(v):
+        w = bottom / jnp.maximum(bottom.sum(axis=1, keepdims=True), 1)
+        return jnp.einsum("bv,bvc->bc", w, v)
+
+    rel_gt = obj_root(targets["object.v.cam"]) - targets["mano.j3d.cam.r"][:, 0]
+    rel_pr = obj_root(pred["object.v.cam"]) - pred["mano.j3d.cam.r"][:, 0]
+    err = jnp.sqrt(jnp.sum((rel_pr - rel_gt) ** 2, axis=1))
+    out = XDict()
+    out["mrrpe/r/o"] = jnp.where(rv > 0, err, _NAN) * 1000.0
+    return out
+
+
+def compute_v2v_dist(v_gt, v_pred, mask, is_valid):
+    """Per-vertex L2 over padded meshes, NaN-masked
+    (common/metrics.py:compute_v2v_dist_no_reduce, dense form)."""
+    d = jnp.sqrt(jnp.sum((v_gt - v_pred) ** 2, axis=2))
+    d = jnp.where(mask > 0, d, _NAN)
+    return jnp.where(is_valid[:, None] > 0, d, _NAN)
+
+
+def eval_motion_deviation(v_hand_seq, v_obj_seq, dist_seq, dist_idx_seq,
+                          vo_canonical, contact_thres: float = 3e-3,
+                          window_thres: int = 11) -> float:
+    """Sequence-level mdev (mdev.py:144): mine contact windows on the GT
+    distance fields, then measure hand/object relative drift. Host-side."""
+    windows = find_contact_windows(
+        np.asarray(dist_seq), np.asarray(dist_idx_seq),
+        np.asarray(vo_canonical), contact_thres, window_thres)
+    return compute_mdev(np.asarray(v_hand_seq), np.asarray(v_obj_seq), windows)
+
+
 object_eval_fn_dict = {
+    "mrrpe.ro": eval_mrrpe_ro,
     "aae": eval_degree,
     "success_rate": eval_v2v_success,
     "cdev": eval_contact_deviation,
