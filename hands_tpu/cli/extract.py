@@ -18,7 +18,6 @@ def main(argv=None):
     from hands_tpu.data.factory import fetch_dataloader
     from hands_tpu.models.registry import fetch_model
     from hands_tpu.train.checkpoint import CheckpointManager
-    from hands_tpu.train.process import process_data_light
     from hands_tpu.train.state import create_train_state
 
     cfg = construct_args(argv)

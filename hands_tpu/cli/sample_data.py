@@ -61,8 +61,6 @@ def main(argv=None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from hands_tpu.ops.preprocess import normalize_imagenet  # noqa: F401
-
     mean = np.asarray(cfg.img_norm_mean)
     std = np.asarray(cfg.img_norm_std)
     for i in range(len(records)):

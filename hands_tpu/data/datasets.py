@@ -27,7 +27,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -19,7 +19,7 @@ Flow per batch (mirrors ``hands_light_dataset.__getitem__``):
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -261,6 +261,41 @@ class DevicePreprocessor:
         }
         inputs, targets, meta_info = self._fn(device_batch, key)
         return inputs, targets, meta_info
+
+
+class PrefetchLoader:
+    """Background-thread prefetch: overlaps host record decode/stacking with
+    device compute (the reference's num_workers analogue — one thread
+    suffices since everything but decode runs on device)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
 
 
 class DeviceDataLoader:

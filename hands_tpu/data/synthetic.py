@@ -18,7 +18,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from hands_tpu.config import Config
-from hands_tpu.core import camera as camlib
 from hands_tpu.core.xdict import XDict
 from hands_tpu.ops import mano as manolib
 

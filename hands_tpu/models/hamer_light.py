@@ -13,7 +13,7 @@ convention via its stacked pass).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

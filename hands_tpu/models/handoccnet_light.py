@@ -16,7 +16,7 @@ recursive hourglass unrolls to a static DAG.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ XDict`` surface the training runtime consumes.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

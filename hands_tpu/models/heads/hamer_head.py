@@ -12,7 +12,7 @@ pose, zero betas, cam [0.9, 0, 0]). ief_iters=1 as in the reference config.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

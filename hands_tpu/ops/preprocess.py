@@ -20,7 +20,6 @@ approximate by design — the parity contract is on keypoints/intrinsics/KPE
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -14,7 +14,7 @@ its params over a ``model`` axis when configured).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

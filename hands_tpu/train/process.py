@@ -10,7 +10,6 @@ camera, and populates the ``targets`` keys the loss consumes.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from hands_tpu.core import camera as camlib
 from hands_tpu.core.xdict import XDict

@@ -8,8 +8,6 @@ distance fields (``prepare_interfield``, :97) computed with the batched kNN.
 
 from __future__ import annotations
 
-from typing import List
-
 import jax.numpy as jnp
 
 from hands_tpu.core.object_tensors import (

@@ -9,7 +9,7 @@ over ``cfg.acc_grad`` micro-batches (``train.py:60``) via ``optax.MultiSteps``.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -11,11 +11,9 @@ inserts the gradient all-reduce over the mesh's ``data`` axis (ICI).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from hands_tpu.config import Config
 from hands_tpu.core.xdict import XDict

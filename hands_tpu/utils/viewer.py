@@ -9,7 +9,7 @@ renderer — usable on a headless TPU host; output is a file you can scp.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

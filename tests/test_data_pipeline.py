@@ -181,3 +181,16 @@ def test_tail_batch_padded_to_fixed_shape():
     assert last_meta["num_valid"] == 1
     assert len(last_meta["imgname"]) == 1
     assert float(np.asarray(last_targets["is_valid"])[1]) == 0.0
+
+
+def test_prefetch_loader_equivalent():
+    from hands_tpu.data.device_pipeline import PrefetchLoader
+
+    cfg = cfg_small()
+    ds = SyntheticRecordDataset(cfg, "train", length=4)
+    loader = DeviceDataLoader(ds, cfg, batch_size=2, is_train=False)
+    direct = [np.asarray(b[0]["img"]) for b in loader]
+    prefetched = [np.asarray(b[0]["img"]) for b in PrefetchLoader(loader)]
+    assert len(direct) == len(prefetched)
+    for a, b in zip(direct, prefetched):
+        np.testing.assert_allclose(a, b)
