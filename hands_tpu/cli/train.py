@@ -16,6 +16,12 @@ def main(argv=None):
     from hands_tpu.config import construct_args
 
     cfg = construct_args(argv)
+    if cfg.debug:
+        # surface the first NaN with a traceback (the jit-compatible
+        # replacement for the reference's per-forward xdict.has_invalid)
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if cfg.debug or cfg.fast_dev_run:
         # synthetic data path: no downloads needed (mirrors --debug minitrain)
         cfg = cfg.replace(dataset="synthetic", val_dataset="synthetic",

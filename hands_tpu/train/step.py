@@ -63,6 +63,12 @@ def make_train_step(model, cfg: Config, donate: bool = True) -> Callable:
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         logs = {k: v for k, (v, _) in loss_dict.items()}
         logs["loss"] = losslib.total_loss(loss_dict)
+        # pre-clip global grad norm (common/torch_utils.py:grad_norm)
+        import jax.numpy as jnp
+
+        logs["grad_norm"] = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree.leaves(grads)))
         return new_state, logs
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
