@@ -125,7 +125,7 @@ class DevicePreprocessor:
         r_bbox = pp.crop_and_pad_bbox(joints_bbox(j2d_r, k_jit_r), res)
         l_bbox = pp.crop_and_pad_bbox(joints_bbox(j2d_l, k_jit_l), res)
 
-        # ---- 6. intrinsics in patch space (needed for PCL crops too)
+        # ---- 5. intrinsics in patch space (needed for PCL crops too)
         K_patch = camlib.crop_adjusted_intrinsics(
             batch["K"], center[:, 0], center[:, 1], augm["sc"] * bbox_dim, res
         )
@@ -135,7 +135,7 @@ class DevicePreprocessor:
                 (B, 3, 3),
             )
 
-        # ---- 5. per-hand crops from the augmented patch
+        # ---- 6. per-hand crops from the augmented patch
         r_rot = l_rot = None
         if cfg.pos_enc == "pcl":
             r_img, r_rot = pp.pcl_crop(img, r_bbox, K_patch, cfg.img_res_ds)

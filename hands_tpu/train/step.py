@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 from hands_tpu.config import Config
 from hands_tpu.core.xdict import XDict
@@ -64,8 +65,6 @@ def make_train_step(model, cfg: Config, donate: bool = True) -> Callable:
         logs = {k: v for k, (v, _) in loss_dict.items()}
         logs["loss"] = losslib.total_loss(loss_dict)
         # pre-clip global grad norm (common/torch_utils.py:grad_norm)
-        import jax.numpy as jnp
-
         logs["grad_norm"] = jnp.sqrt(sum(
             jnp.sum(jnp.square(g.astype(jnp.float32)))
             for g in jax.tree.leaves(grads)))
