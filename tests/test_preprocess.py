@@ -215,7 +215,29 @@ def test_two_pass_rotation_matches_single_warp():
     ref = pp.warp_affine(img, M, 96, method="bilinear")
     two = pp.crop_resize_separable(img, cx, cy, size, 96, "bilinear")
     two = pp.rotate_patch(two, rot, "bilinear")
-    # compare interiors (double interpolation softens; borders differ)
+    # compare interiors: rotate_patch uses sinc (DFT) interpolation, the
+    # oracle bilinear — differences are interpolation-method softness
     d = np.abs(np.asarray(two) - np.asarray(ref))[0, 12:-12, 12:-12]
-    assert np.median(d) < 0.01, np.median(d)
-    assert np.percentile(d, 95) < 0.05
+    assert np.median(d) < 0.03, np.median(d)
+    assert np.percentile(d, 95) < 0.12
+
+
+def test_shear_rotation_matches_gather():
+    """Gather-free 3-shear rotation == single-pass gather warp (within
+    double-interpolation softness)."""
+    img = np.outer(np.sin(np.arange(224) / 9.0),
+                   np.cos(np.arange(224) / 7.0)).astype(np.float32)
+    img = jnp.asarray(np.tile(np.stack([img, img * 0.5, img * 0.2], -1)[None],
+                              (2, 1, 1, 1)))
+    rot = jnp.asarray([25.0, -40.0])
+    ref = pp.rotate_patch_gather(img, rot)
+    new = pp.rotate_patch(img, rot)
+    d = np.abs(np.asarray(ref) - np.asarray(new))[:, 20:-20, 20:-20]
+    assert np.median(d) < 0.02
+    assert np.percentile(d, 95) < 0.06
+
+
+def test_shear_rotation_zero_is_identity():
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 96, 96, 3), jnp.float32)
+    out = pp.rotate_patch(img, jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
