@@ -562,36 +562,48 @@ class SyntheticRecordDataset(RecordDataset):
         super().__init__(cfg, split)
 
     def _load_samples(self) -> List[dict]:
-        return [{"idx": i} for i in range(self.length)]
-
-    def _to_record(self, s: dict) -> Record:
+        # batch-generate all labels with ONE MANO forward per hand — per-
+        # record device dispatches through the remote tunnel cost ~1 s each
         from hands_tpu.ops import mano as manolib
         import jax.numpy as jnp
 
-        i = s["idx"]
-        rng = np.random.RandomState(1000 + i)
+        n = self.length
+        rngs = [np.random.RandomState(1000 + i) for i in range(n)]
         H, W = self.img_hw
         K = np.asarray(
             [[800.0, 0, W / 2], [0, 800.0, H / 2], [0, 0, 1]], np.float32)
 
-        def hand(model, x_off):
-            pose = (rng.randn(48) * 0.2).astype(np.float32)
-            beta = (rng.randn(10) * 0.3).astype(np.float32)
+        self._labels = {}
+        for side, is_r, x_off in (("r", True, 0.06), ("l", False, -0.06)):
+            pose = np.stack([
+                (r.randn(48) * 0.2).astype(np.float32) for r in rngs])
+            beta = np.stack([
+                (r.randn(10) * 0.3).astype(np.float32) for r in rngs])
             out = manolib.mano_forward(
-                model, jnp.asarray(beta)[None], jnp.asarray(pose[3:])[None],
-                jnp.asarray(pose[:3])[None])
-            j = np.asarray(out.joints)[0]
+                manolib.load_mano(is_r), jnp.asarray(beta),
+                jnp.asarray(pose[:, 3:]), jnp.asarray(pose[:, :3]))
+            j = np.asarray(out.joints)
             cam_t = np.asarray([x_off, 0.0, 0.55], np.float32)
-            j3d = j + cam_t
+            j3d = (j + cam_t).astype(np.float32)
             p = j3d @ K.T
-            j2d = p[:, :2] / np.maximum(p[:, 2:], 1e-9)
-            return pose, beta, j3d.astype(np.float32), du.pad_jts2d(
-                j2d.astype(np.float32))
+            j2d = p[..., :2] / np.maximum(p[..., 2:], 1e-9)
+            self._labels[side] = dict(pose=pose, beta=beta, j3d=j3d,
+                                      j2d=j2d.astype(np.float32))
+        self._K = K
+        return [{"idx": i} for i in range(n)]
 
-        mr = manolib.load_mano(True)
-        ml = manolib.load_mano(False)
-        pose_r, beta_r, j3d_r, j2d_r = hand(mr, 0.06)
-        pose_l, beta_l, j3d_l, j2d_l = hand(ml, -0.06)
+    def _to_record(self, s: dict) -> Record:
+        i = s["idx"]
+        rng = np.random.RandomState(1000 + i)
+        # consume the same draws as label generation for deterministic images
+        rng.randn(48), rng.randn(10)
+        H, W = self.img_hw
+        K = self._K
+        lr, ll = self._labels["r"], self._labels["l"]
+        pose_r, beta_r, j3d_r = lr["pose"][i], lr["beta"][i], lr["j3d"][i]
+        pose_l, beta_l, j3d_l = ll["pose"][i], ll["beta"][i], ll["j3d"][i]
+        j2d_r = du.pad_jts2d(lr["j2d"][i])
+        j2d_l = du.pad_jts2d(ll["j2d"][i])
 
         img = (rng.rand(H, W, 3) * 60).astype(np.uint8)
         for j2 in (j2d_r, j2d_l):

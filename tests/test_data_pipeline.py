@@ -194,3 +194,22 @@ def test_prefetch_loader_equivalent():
     assert len(direct) == len(prefetched)
     for a, b in zip(direct, prefetched):
         np.testing.assert_allclose(a, b)
+
+
+def test_loader_determinism():
+    """Same seed -> identical batches (images, targets, augmentation)."""
+    cfg = cfg_small()
+    ds = SyntheticRecordDataset(cfg, "train", length=4)
+    l1 = DeviceDataLoader(ds, cfg, 2, is_train=True, seed=7)
+    l2 = DeviceDataLoader(ds, cfg, 2, is_train=True, seed=7)
+    b1 = next(iter(l1))
+    b2 = next(iter(l2))
+    np.testing.assert_array_equal(np.asarray(b1[0]["img"]),
+                                  np.asarray(b2[0]["img"]))
+    np.testing.assert_array_equal(np.asarray(b1[1]["mano.pose.r"]),
+                                  np.asarray(b2[1]["mano.pose.r"]))
+    # different seed -> different augmentation
+    l3 = DeviceDataLoader(ds, cfg, 2, is_train=True, seed=8)
+    b3 = next(iter(l3))
+    assert not np.array_equal(np.asarray(b1[0]["img"]),
+                              np.asarray(b3[0]["img"]))
