@@ -113,10 +113,14 @@ def soft_raster_silhouette(
 
     def edge_dist(p, a, b):
         # signed distance of pixels p (P,2) to edge a->b, normalised;
-        # positive on the left side (CCW interior)
+        # positive on the left side (CCW interior). The sqrt is clamped so
+        # degenerate (padded) faces keep finite gradients — they are masked
+        # out downstream, but 0 * NaN would still poison the backward pass.
         e = b - a  # (B, C, 2)
         n = jnp.stack([-e[..., 1], e[..., 0]], axis=-1)  # left normal
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), _EPS)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True),
+                                    _EPS * _EPS))
+        n = n / norm
         # (B, C, P): dot(p - a, n)
         return jnp.einsum("pc,bfc->bfp", p, n) - jnp.sum(a * n, axis=-1)[..., None]
 
