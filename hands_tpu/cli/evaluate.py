@@ -13,6 +13,12 @@ def main(argv=None):
     from hands_tpu.core.xdict import device_view
 
     cfg = construct_args(argv)
+    import sys as _sys
+
+    # --eval_on overrides the eval dataset (reference generic_parser.py)
+    if "--eval_on" in (argv or _sys.argv):
+        idx = (argv or _sys.argv).index("--eval_on")
+        cfg = cfg.replace(val_dataset=(argv or _sys.argv)[idx + 1])
     if cfg.debug or cfg.fast_dev_run:
         cfg = cfg.replace(val_dataset="synthetic", use_render_seg_loss=False)
 

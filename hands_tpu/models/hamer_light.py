@@ -30,17 +30,37 @@ from hands_tpu.ops import mano as manolib
 
 
 class KpeTokenEmbed(nn.Module):
-    """center+corner (or dense) angles -> per-token embedding
-    (reference ``pos_emb.py:6``: 2-layer MLP, broadcast over tokens)."""
+    """center+corner or dense angles -> per-token embedding
+    (reference ``pos_emb.py:6``: 2-layer MLP; center+corner broadcasts one
+    vector over tokens, dense interpolates per-pixel angles to the token
+    grid and embeds each token separately — note the reference's dense
+    branch has a latent signature bug, fixed here per SURVEY §7.3)."""
 
     feat_dim: int
     n_freq: int
     n_tokens: int
+    token_hw: tuple = (16, 12)
     mode: str = "center+corner_latent"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, center_angle, corner_angle):
+    def __call__(self, center_angle=None, corner_angle=None,
+                 dense_angle=None, dense_mask=None):
+        mlp = nn.Sequential([
+            nn.Dense(self.feat_dim, dtype=self.dtype), nn.relu,
+            nn.Dense(self.feat_dim, dtype=self.dtype), nn.relu,
+        ])
+        if self.mode == "dense_latent":
+            th, tw = self.token_hw
+            # (B, th, tw, 4L) angles resampled onto the token grid
+            enc = kpe.dense_pos_enc(dense_angle, dense_mask, self.n_freq, th)
+            if enc.shape[2] != tw:
+                import jax
+
+                enc = jax.image.resize(
+                    enc, (enc.shape[0], th, tw, enc.shape[-1]), "bilinear")
+            x = mlp(enc)  # per-token embedding
+            return x.reshape(x.shape[0], th * tw, self.feat_dim)
         enc = jnp.concatenate(
             [
                 kpe.center_pos_enc(center_angle, self.n_freq),
@@ -48,8 +68,7 @@ class KpeTokenEmbed(nn.Module):
             ],
             axis=-1,
         )
-        x = nn.relu(nn.Dense(self.feat_dim, dtype=self.dtype)(enc))
-        x = nn.relu(nn.Dense(self.feat_dim, dtype=self.dtype)(x))
+        x = mlp(enc)
         return jnp.broadcast_to(
             x[:, None, :], (x.shape[0], self.n_tokens, self.feat_dim)
         )
@@ -81,11 +100,19 @@ class HamerNet(nn.Module):
             embed_dim = {"h": 1280, "b16": 768, "tiny": 128}[self.vit_variant]
             kpe_mod = KpeTokenEmbed(
                 feat_dim=embed_dim, n_freq=cfg.n_freq_pos_enc,
-                n_tokens=(256 // 16) * (192 // 16), dtype=jnp.float32,
-                name="kpe",
+                n_tokens=(256 // 16) * (192 // 16), token_hw=(16, 12),
+                mode=cfg.pos_enc, dtype=jnp.float32, name="kpe",
             )
-            r_emb = kpe_mod(inputs["r_center_angle"], inputs["r_corner_angle"])
-            l_emb = kpe_mod(inputs["l_center_angle"], inputs["l_corner_angle"])
+            if cfg.pos_enc == "dense_latent":
+                r_emb = kpe_mod(dense_angle=inputs["r_dense_angle"],
+                                dense_mask=inputs["r_dense_mask"])
+                l_emb = kpe_mod(dense_angle=inputs["l_dense_angle"],
+                                dense_mask=inputs["l_dense_mask"])
+            else:
+                r_emb = kpe_mod(inputs["r_center_angle"],
+                                inputs["r_corner_angle"])
+                l_emb = kpe_mod(inputs["l_center_angle"],
+                                inputs["l_corner_angle"])
             kpe_emb = jnp.concatenate([r_emb, l_emb], axis=0)
 
         vit = ViTBackbone(

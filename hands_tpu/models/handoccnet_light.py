@@ -348,16 +348,27 @@ class HandOccNetNet(nn.Module):
         kpe_emb = None
         if cfg.pos_enc is not None:
             L = cfg.n_freq_pos_enc
-            enc_r = jnp.concatenate([
-                kpe.center_pos_enc(inputs["r_center_angle"], L),
-                kpe.corner_pos_enc(inputs["r_corner_angle"], L)], axis=-1)
-            enc_l = jnp.concatenate([
-                kpe.center_pos_enc(inputs["l_center_angle"], L),
-                kpe.corner_pos_enc(inputs["l_corner_angle"], L)], axis=-1)
-            enc = jnp.concatenate([enc_r, enc_l], axis=0)
-            e = nn.relu(nn.Dense(256, name="kpe_fc1")(enc))
-            e = nn.relu(nn.Dense(256, name="kpe_fc2")(e))
-            kpe_emb = jnp.broadcast_to(e[:, None, :], (2 * B, 32 * 32, 256))
+            if cfg.pos_enc == "dense_latent":
+                enc_r = kpe.dense_pos_enc(
+                    inputs["r_dense_angle"], inputs["r_dense_mask"], L, 32)
+                enc_l = kpe.dense_pos_enc(
+                    inputs["l_dense_angle"], inputs["l_dense_mask"], L, 32)
+                enc = jnp.concatenate([enc_r, enc_l], axis=0)  # (2B,32,32,4L)
+                e = nn.relu(nn.Dense(256, name="kpe_fc1")(enc))
+                e = nn.relu(nn.Dense(256, name="kpe_fc2")(e))
+                kpe_emb = e.reshape(2 * B, 32 * 32, 256)
+            else:
+                enc_r = jnp.concatenate([
+                    kpe.center_pos_enc(inputs["r_center_angle"], L),
+                    kpe.corner_pos_enc(inputs["r_corner_angle"], L)], axis=-1)
+                enc_l = jnp.concatenate([
+                    kpe.center_pos_enc(inputs["l_center_angle"], L),
+                    kpe.corner_pos_enc(inputs["l_corner_angle"], L)], axis=-1)
+                enc = jnp.concatenate([enc_r, enc_l], axis=0)
+                e = nn.relu(nn.Dense(256, name="kpe_fc1")(enc))
+                e = nn.relu(nn.Dense(256, name="kpe_fc2")(e))
+                kpe_emb = jnp.broadcast_to(
+                    e[:, None, :], (2 * B, 32 * 32, 256))
 
         p_feats, s_feats = FPN(dtype=dtype, name="fpn")(x, train=train)
         feats = InjectionTransformer(injection=True, dtype=dtype, name="fit")(

@@ -89,3 +89,40 @@ def test_separate_hands_mode():
     cfg = default_config("hands_light", separate_hands=True, pos_enc=None,
                          **{k: v for k, v in BASE.items()})
     _run(cfg)
+
+
+def test_hamer_dense_latent_kpe():
+    from hands_tpu.data.datasets import SyntheticRecordDataset
+    from hands_tpu.data.device_pipeline import DevicePreprocessor, stack_records
+    from hands_tpu.models.hamer_light import HamerLightModel
+
+    cfg = default_config("hamer_light", pos_enc="dense_latent",
+                         compute_dtype="float32", use_grasp_loss=False,
+                         use_render_seg_loss=False)
+    ds = SyntheticRecordDataset(cfg, "train", length=2)
+    stacked = stack_records([ds[0], ds[1]])
+    pre = DevicePreprocessor(cfg, is_train=False)
+    inputs, targets, meta = pre(stacked, jax.random.PRNGKey(0))
+    assert "r_dense_angle" in inputs
+    model = HamerLightModel(cfg, vit_variant="tiny")
+    variables = model.init(jax.random.PRNGKey(0), inputs, meta)
+    pred = model(variables, inputs, meta, train=False)
+    assert np.isfinite(np.asarray(pred["mano.j3d.cam.r"])).all()
+
+
+def test_handoccnet_dense_latent_kpe():
+    from hands_tpu.data.datasets import SyntheticRecordDataset
+    from hands_tpu.data.device_pipeline import DevicePreprocessor, stack_records
+    from hands_tpu.models.registry import fetch_model
+
+    cfg = default_config("handoccnet_light", pos_enc="dense_latent",
+                         compute_dtype="float32", use_grasp_loss=False,
+                         use_render_seg_loss=False)
+    ds = SyntheticRecordDataset(cfg, "train", length=1)
+    stacked = stack_records([ds[0]])
+    pre = DevicePreprocessor(cfg, is_train=False)
+    inputs, targets, meta = pre(stacked, jax.random.PRNGKey(0))
+    model = fetch_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), inputs, meta)
+    pred = model(variables, inputs, meta, train=False)
+    assert np.isfinite(np.asarray(pred["mano.j2d.norm.l"])).all()
