@@ -73,13 +73,16 @@ def import_resnet(state_dict: Dict, stage_sizes=(3, 4, 6, 3)) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
-def import_vit(state_dict: Dict, depth: int = 32, scan: bool = True) -> Dict:
+def import_vit(state_dict: Dict, depth: int = 32, scan: bool = True,
+               target_grid=None, src_grid=None) -> Dict:
     """ViTPose/HaMeR-style ViT state_dict -> params for ViTBackbone.
 
     Handles: patch_embed.proj, pos_embed (cls token folded into the grid —
     the reference adds ``pos_embed[:, :1] + pos_embed[:, 1:]``,
-    vit.py:326-328), per-block qkv/proj/mlp/norms, last_norm. With
-    ``scan=True`` block params are stacked along a leading depth axis.
+    vit.py:326-328; bicubic grid resize when ``target_grid=(h, w)`` differs
+    from the checkpoint's ``src_grid``, mirroring ``get_abs_pos``),
+    per-block qkv/proj/mlp/norms, last_norm. With ``scan=True`` block params
+    are stacked along a leading depth axis.
     """
     params: Dict = {}
     params["patch_embed"] = {
@@ -89,6 +92,16 @@ def import_vit(state_dict: Dict, depth: int = 32, scan: bool = True) -> Dict:
     pos = _t2np(state_dict["pos_embed"])
     if pos.shape[1] % 2 == 1:  # leading cls token: fold it in
         pos = pos[:, 1:] + pos[:, :1]
+    if target_grid is not None and src_grid is not None \
+            and tuple(target_grid) != tuple(src_grid):
+        import jax
+
+        sh, sw = src_grid
+        th, tw = target_grid
+        grid = pos.reshape(1, sh, sw, -1)
+        grid = np.asarray(jax.image.resize(
+            grid, (1, th, tw, grid.shape[-1]), "bicubic"))
+        pos = grid.reshape(1, th * tw, -1)
     params["pos_embed"] = pos
 
     def block_params(i):

@@ -153,3 +153,24 @@ def test_vit_import_matches_torch_block():
     fb = Block(num_heads=H, mlp_ratio=2.0)
     out = fb.apply({"params": block_params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_vit_pos_embed_grid_resize():
+    """Checkpoint grid != target grid -> bicubic resize (get_abs_pos path)."""
+    import numpy as np
+
+    from hands_tpu.utils.torch_import import import_vit
+
+    C = 32
+    sd = {
+        "patch_embed.proj.weight": torch.zeros(C, 3, 16, 16),
+        "patch_embed.proj.bias": torch.zeros(C),
+        "pos_embed": torch.arange(1 * 14 * 14 * C, dtype=torch.float32)
+        .reshape(1, 14 * 14, C) / 1000,
+        "last_norm.weight": torch.ones(C),
+        "last_norm.bias": torch.zeros(C),
+    }
+    out = import_vit(sd, depth=0, scan=False, target_grid=(16, 12),
+                     src_grid=(14, 14))
+    assert out["params"]["pos_embed"].shape == (1, 16 * 12, C)
+    assert np.isfinite(out["params"]["pos_embed"]).all()
