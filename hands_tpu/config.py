@@ -73,6 +73,9 @@ class Config:
     # --- runtime
     eval_every_epoch: int = 5
     log_every: int = 50
+    # mid-epoch 'last' checkpointing for preemption tolerance (0 = only at
+    # epoch end, like the reference)
+    save_every_steps: int = 0
     num_exp: int = 1
     exp_key: str = ""
     extraction_mode: str = ""

@@ -83,6 +83,11 @@ class Trainer:
                     means = {k: float(np.mean(v)) for k, v in window.items()}
                     self.exp.log_dict(means, global_step, postfix="__train")
                     window.clear()
+                if cfg.save_every_steps and \
+                        global_step % cfg.save_every_steps == 0:
+                    # mid-epoch preemption checkpoint (resume replays the
+                    # rest of the epoch; step counter is restored exactly)
+                    self.ckpt.save_last(state, epoch)
 
             epoch_time = time.time() - t0
             self.exp.log_dict({"epoch_time_s": epoch_time}, global_step)

@@ -112,3 +112,15 @@ def test_resume_continues_from_epoch(loaders, tmp_path, monkeypatch):
     trainer2.ckpt = trainer.ckpt
     state = trainer2.fit(train_loader, None, num_epochs=2)
     assert int(state.step) == 4  # 2 epochs x 2 steps, not 6
+
+
+def test_mid_epoch_checkpointing(loaders, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg, train_loader, _ = loaders
+    cfg = cfg.replace(save_every_steps=1)
+    model = fetch_model(cfg)
+    exp = Experiment(cfg, root=str(tmp_path / "logs3"))
+    trainer = Trainer(cfg, model, exp)
+    # interrupt-free single epoch still writes 'last' during the epoch
+    trainer.fit(train_loader, None, num_epochs=1)
+    assert trainer.ckpt.has_checkpoint("last")
