@@ -114,6 +114,12 @@ def bench_preprocess(batch_size: int = 64):
 
 
 def main():
+    # persistent compile cache (works for TPU too): repeated bench runs with
+    # unchanged programs skip the slow remote compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hands_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="hands_light",
                    choices=["hands_light", "hamer_vith", "handoccnet",
