@@ -94,6 +94,14 @@ def crop_adjusted_intrinsics(
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def get_default_cam_t(focal_length: float, img_res: int) -> jnp.ndarray:
+    """Default camera translation for the canonical wp cam [5, 0, 0]
+    (reference camera.py:74)."""
+    wp = jnp.asarray([[5.0, 0.0, 0.0]])
+    return weak_perspective_to_perspective(
+        wp, jnp.asarray([focal_length]), img_res)
+
+
 # -------------------------------------------------------------- misc utils
 def get_coord_maps(size: int = 56) -> jnp.ndarray:
     """CoordConv-style [-1, 1] xy channel maps, NHWC (B=1, size, size, 2)
