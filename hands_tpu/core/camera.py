@@ -200,4 +200,6 @@ def estimate_translation(
 
     AtA = jnp.einsum("bni,bnj->bij", A, A)
     Atb = jnp.einsum("bni,bn->bi", A, b)
-    return jnp.linalg.solve(AtA + 1e-8 * jnp.eye(3), Atb)
+    return jnp.linalg.solve(
+        AtA + 1e-8 * jnp.eye(3), Atb[..., None]
+    )[..., 0]
