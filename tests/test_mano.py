@@ -111,3 +111,43 @@ def test_seal_mano_mesh():
     # sealing vertex = mean of wrist ring
     ring = np.asarray(out.vertices[0, mano.SEAL_CIRCLE_V_ID]).mean(axis=0)
     np.testing.assert_allclose(np.asarray(v[0, -1]), ring, atol=1e-6)
+
+
+def test_model_tensor_invariants():
+    """Structural invariants every MANO model (real or synthetic) must hold."""
+    for is_r in (True, False):
+        m = mano.load_mano(is_r)
+        W = np.asarray(m.lbs_weights)
+        np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-5)
+        assert (W >= 0).all()
+        JR = np.asarray(m.j_regressor)
+        np.testing.assert_allclose(JR.sum(axis=1), 1.0, atol=1e-4)
+        assert m.shapedirs.shape == (778, 3, 10)
+        assert m.posedirs.shape == (135, 778 * 3)
+        f = np.asarray(m.faces)
+        assert f.min() >= 0 and f.max() < 778
+
+
+def test_beta_changes_shape_not_pose():
+    """Betas deform the rest shape; with zero pose the joints move smoothly
+    and remain finite."""
+    model = mano.load_mano(True, flat_hand_mean=True)
+    z = jnp.zeros((1, 45))
+    o = jnp.zeros((1, 3))
+    out0 = mano.mano_forward(model, jnp.zeros((1, 10)), z, o)
+    out1 = mano.mano_forward(model, jnp.ones((1, 10)), z, o)
+    d = np.abs(np.asarray(out1.vertices - out0.vertices))
+    assert d.max() > 1e-4  # betas have an effect
+    assert d.max() < 0.1  # but a bounded one
+
+
+def test_pose_blendshapes_active():
+    """Articulation must engage the pose-blend correction (verts differ from
+    pure rigid skinning of the rest shape)."""
+    model = mano.load_mano(True, flat_hand_mean=True)
+    pose = jnp.zeros((1, 45)).at[0, 0].set(0.8)
+    out = mano.mano_forward(model, jnp.zeros((1, 10)), pose, jnp.zeros((1, 3)))
+    # disable pose blend by zeroing posedirs
+    model0 = model._replace(posedirs=jnp.zeros_like(model.posedirs))
+    out0 = mano.mano_forward(model0, jnp.zeros((1, 10)), pose, jnp.zeros((1, 3)))
+    assert float(jnp.abs(out.vertices - out0.vertices).max()) > 1e-5
