@@ -163,6 +163,75 @@ def matrix_to_rot6d(matrix: jnp.ndarray) -> jnp.ndarray:
     return matrix[..., :2, :].reshape(matrix.shape[:-2] + (6,))
 
 
+def rot6d_to_matrix_spin(d6: jnp.ndarray) -> jnp.ndarray:
+    """Continuous 6D (..., 6) -> rotation matrix, SPIN/HMR layout.
+
+    The reference's regression heads use the SPIN convention
+    (``common/rot.py:367`` ``rot6d_to_rotmat``): the 6 values are read as a
+    (3, 2) block whose *columns* are the two encoded vectors, and the decoded
+    b1/b2/b3 become the matrix *columns*. Identity encodes as
+    ``[1, 0, 0, 1, 0, 0]``. Pretrained reference/HaMeR head weights emit this
+    layout, so every MANO regression head here decodes with it.
+    """
+    block = d6.reshape(d6.shape[:-1] + (3, 2))
+    a1, a2 = block[..., 0], block[..., 1]
+    b1 = a1 / jnp.maximum(_safe_norm(a1), _EPS)
+    a2_proj = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2_proj / jnp.maximum(_safe_norm(a2_proj), _EPS)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)
+
+
+def matrix_to_rot6d_spin(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> SPIN 6D (..., 6): first two *columns*,
+    flattened row-major (reference ``rotmat_to_rot6d``, common/rot.py:384)."""
+    return matrix[..., :, :2].reshape(matrix.shape[:-2] + (6,))
+
+
+# ------------------------------------------------------------- quaternion ops
+def standardize_quaternion(quat: jnp.ndarray) -> jnp.ndarray:
+    """Flip sign so the real part is non-negative (pytorch3d semantics,
+    reference common/rot.py:12)."""
+    return jnp.where(quat[..., :1] < 0, -quat, quat)
+
+
+def quaternion_raw_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product of two [w, x, y, z] quaternions (common/rot.py:691)."""
+    aw, ax, ay, az = jnp.moveaxis(a, -1, 0)
+    bw, bx, by, bz = jnp.moveaxis(b, -1, 0)
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quaternion_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product, standardized to non-negative real part
+    (common/rot.py:27)."""
+    return standardize_quaternion(quaternion_raw_multiply(a, b))
+
+
+def quaternion_invert(quat: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a unit quaternion: conjugate (common/rot.py:713)."""
+    return quat * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=quat.dtype)
+
+
+def quaternion_apply(quat: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+    """Rotate points (..., 3) by unit quaternions (..., 4)
+    (common/rot.py:730): q * (0, p) * q^-1."""
+    zeros = jnp.zeros_like(point[..., :1])
+    p_quat = jnp.concatenate([zeros, point], axis=-1)
+    out = quaternion_raw_multiply(
+        quaternion_raw_multiply(quat, p_quat), quaternion_invert(quat)
+    )
+    return out[..., 1:]
+
+
 # -------------------------------------------------------------------- euler
 def euler_angles_to_matrix(euler: jnp.ndarray, convention: str = "XYZ") -> jnp.ndarray:
     """Euler angles (..., 3) -> rotation matrix, extrinsic composition R = Rx@Ry@Rz
@@ -198,7 +267,10 @@ def rot_aa(aa: jnp.ndarray, rot_deg: jnp.ndarray) -> jnp.ndarray:
         rot_deg.shape + (3, 3)
     )
     per_sample = axis_angle_to_matrix(aa)
-    return matrix_to_axis_angle(R @ per_sample)
+    # cv2.Rodrigues (the reference path) returns the representative with
+    # angle in [0, pi]; standardize the quaternion to match it exactly.
+    quat = standardize_quaternion(matrix_to_quaternion(R @ per_sample))
+    return quaternion_to_axis_angle(quat)
 
 
 def flip_axis_angle(aa_flat: jnp.ndarray) -> jnp.ndarray:

@@ -319,7 +319,7 @@ class Regressor(nn.Module):
 
         from hands_tpu.core import rot as rotlib
 
-        rotmats = rotlib.rot6d_to_matrix(pose6d.reshape(B, 16, 6))
+        rotmats = rotlib.rot6d_to_matrix_spin(pose6d.reshape(B, 16, 6))
         return {
             "pose": rotmats,
             "shape": shape,

@@ -37,8 +37,8 @@ def load_mean_params() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             d["cam"].astype(np.float32).reshape(-1),
         )
     ident6d = np.tile(
-        np.asarray([1, 0, 0, 0, 1, 0], np.float32), 16
-    )  # identity rotations
+        np.asarray([1, 0, 0, 1, 0, 0], np.float32), 16
+    )  # identity rotations, SPIN 6D layout (common/rot.py:384)
     return ident6d, np.zeros(10, np.float32), np.asarray([0.9, 0, 0], np.float32)
 
 
@@ -142,7 +142,7 @@ class ManoTransformerDecoderHead(nn.Module):
             pred_betas = decshape(token) + pred_betas
             pred_cam = deccam(token) + pred_cam
 
-        rotmats = rotlib.rot6d_to_matrix(pred_pose.reshape(B, 16, 6))
+        rotmats = rotlib.rot6d_to_matrix_spin(pred_pose.reshape(B, 16, 6))
         return {
             "pose": rotmats,  # (B, 16, 3, 3) incl. global orient at 0
             "shape": pred_betas,

@@ -148,7 +148,9 @@ class HandHMR(nn.Module):
         else:
             init_transl = cam_init(feat)
 
-        ident6d = rotlib.matrix_to_rot6d(jnp.eye(3, dtype=jnp.float32)[None])
+        # SPIN 6D layout (reference rot6d_to_rotmat, common/rot.py:367) so
+        # pretrained reference head weights decode identically.
+        ident6d = rotlib.matrix_to_rot6d_spin(jnp.eye(3, dtype=jnp.float32)[None])
         init_pose = jnp.tile(ident6d.reshape(1, 6), (B, 16)).reshape(B, 96)
         init_vec = {
             "pose_6d": init_pose,
@@ -166,7 +168,7 @@ class HandHMR(nn.Module):
                 name="hmr_layer",
             )(feat, init_vec, train=train)
 
-        rotmat = rotlib.rot6d_to_matrix(pred["pose_6d"].reshape(B, 16, 6))
+        rotmat = rotlib.rot6d_to_matrix_spin(pred["pose_6d"].reshape(B, 16, 6))
         return {
             "pose": rotmat,
             "shape": pred["shape"],
