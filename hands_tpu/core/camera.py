@@ -203,3 +203,43 @@ def estimate_translation(
     return jnp.linalg.solve(
         AtA + 1e-8 * jnp.eye(3), Atb[..., None]
     )[..., 0]
+
+
+def estimate_translation_k(
+    S: jnp.ndarray,
+    joints_2d: jnp.ndarray,
+    joints_conf: jnp.ndarray,
+    K: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched DLT translation solve against full intrinsics.
+
+    Reference ``estimate_translation_k_np`` (camera.py:361): per-axis focal
+    (fx, fy) and principal point from K instead of the square fixed-focal
+    assumption of :func:`estimate_translation`. One batched normal-equations
+    solve instead of the reference's per-sample python loop.
+
+    S: (B, N, 3), joints_2d: (B, N, 2), joints_conf: (B, N), K: (B, 3, 3).
+    Returns (B, 3).
+    """
+    B, N, _ = S.shape
+    f = jnp.stack([K[:, 0, 0], K[:, 1, 1]], axis=-1)  # (B, 2)
+    center = jnp.stack([K[:, 0, 2], K[:, 1, 2]], axis=-1)  # (B, 2)
+
+    XY = S[..., :2]
+    Z = S[..., 2]
+    uv = joints_2d - center[:, None, :]
+    w = jnp.sqrt(jnp.maximum(joints_conf, 0.0))
+
+    fx = jnp.broadcast_to(f[:, None, 0], (B, N))
+    fy = jnp.broadcast_to(f[:, None, 1], (B, N))
+    zeros = jnp.zeros((B, N))
+    A_u = jnp.stack([fx, zeros, -uv[..., 0]], axis=-1)
+    A_v = jnp.stack([zeros, fy, -uv[..., 1]], axis=-1)
+    b_u = uv[..., 0] * Z - fx * XY[..., 0]
+    b_v = uv[..., 1] * Z - fy * XY[..., 1]
+
+    A = jnp.concatenate([A_u * w[..., None], A_v * w[..., None]], axis=1)
+    b = jnp.concatenate([b_u * w, b_v * w], axis=1)
+    AtA = jnp.einsum("bni,bnj->bij", A, A)
+    Atb = jnp.einsum("bni,bn->bi", A, b)
+    return jnp.linalg.solve(AtA + 1e-8 * jnp.eye(3), Atb[..., None])[..., 0]

@@ -436,6 +436,13 @@ def augm_params(
     return {"flip": flip, "pn": pn, "rot": rot, "sc": sc}
 
 
+def _rot_margin_res(img_res: int) -> int:
+    """Smallest even patch side >= img_res * sqrt(2): the central img_res
+    window of a rotation of this patch never touches the zero corners."""
+    big = int(np.ceil(img_res * np.sqrt(2.0)))
+    return big + (big - img_res) % 2
+
+
 def rgb_crop_augment(
     images: jnp.ndarray,  # (B, H, W, 3) uint8/float in [0, 255]
     center: jnp.ndarray,  # (B, 2)
@@ -460,10 +467,20 @@ def rgb_crop_augment(
     if antialias:
         imgs = gaussian_blur(imgs)
     crop_dim = augm["sc"] * bbox_dim * 200.0
-    patch = crop_resize_separable(
-        imgs, center[:, 0], center[:, 1], crop_dim, img_res, method=method)
     if apply_rot:
+        # sqrt(2) margin: the rotated square samples real image content at
+        # the corners (the reference's single warp does), instead of the
+        # zero wedge a tight crop-then-rotate would produce.
+        big = _rot_margin_res(img_res)
+        patch = crop_resize_separable(
+            imgs, center[:, 0], center[:, 1], crop_dim * (big / img_res), big,
+            method=method)
         patch = rotate_patch(patch, augm["rot"], method=method)
+        off = (big - img_res) // 2
+        patch = patch[:, off:off + img_res, off:off + img_res, :]
+    else:
+        patch = crop_resize_separable(
+            imgs, center[:, 0], center[:, 1], crop_dim, img_res, method=method)
     patch = jnp.clip(patch * augm["pn"][:, None, None, :], 0.0, 255.0)
     return patch / 255.0
 
@@ -477,11 +494,19 @@ def mask_crop(
     crop_dim = augm["sc"] * bbox_dim * 200.0
     if masks.ndim == 3:
         masks = masks[..., None]
-    patch = crop_resize_separable(
-        masks.astype(jnp.float32), center[:, 0], center[:, 1], crop_dim,
-        img_res, method="nearest")
+    masksf = masks.astype(jnp.float32)
     if apply_rot:
+        big = _rot_margin_res(img_res)
+        patch = crop_resize_separable(
+            masksf, center[:, 0], center[:, 1], crop_dim * (big / img_res),
+            big, method="nearest")
         patch = rotate_patch(patch, augm["rot"], method="nearest")
+        off = (big - img_res) // 2
+        patch = patch[:, off:off + img_res, off:off + img_res, :]
+    else:
+        patch = crop_resize_separable(
+            masksf, center[:, 0], center[:, 1], crop_dim, img_res,
+            method="nearest")
     return patch
 
 
@@ -525,6 +550,23 @@ def jitter_bbox(key: jax.Array, bbox: jnp.ndarray, t_stdev: float = 0.2):
     jt = (jax.random.uniform(key, (B, 2)) * 2 - 1) * t_stdev * wh
     new_center = center + jt
     return jnp.concatenate([new_center - wh / 2, wh], axis=-1)
+
+
+def jitter_intrinsics(key: jax.Array, K: jnp.ndarray,
+                      s_stdev: float = 0.5, t_stdev: float = 0.2) -> jnp.ndarray:
+    """Batched intrinsics jitter (reference ``jitter_intrinsics``,
+    data_utils.py:483): log-uniform focal scale exp(U(-s, s)) applied to
+    fx/fy, multiplicative principal-point shift cx *= 1 + U(-t, t)).
+    K: (B, 3, 3)."""
+    B = K.shape[0]
+    ks, kt = jax.random.split(key)
+    jitter_s = jnp.exp(jax.random.uniform(ks, (B,)) * s_stdev * 2 - s_stdev)
+    jitter_t = jax.random.uniform(kt, (B, 2)) * t_stdev * 2 - t_stdev
+    K = K.at[:, 0, 0].multiply(jitter_s)
+    K = K.at[:, 1, 1].multiply(jitter_s)
+    K = K.at[:, 0, 2].multiply(1.0 + jitter_t[:, 0])
+    K = K.at[:, 1, 2].multiply(1.0 + jitter_t[:, 1])
+    return K
 
 
 def crop_and_pad_bbox(
