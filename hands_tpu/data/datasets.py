@@ -537,6 +537,7 @@ class EgoExoDataset(RecordDataset):
             imgname=s["key"], image=img, K=K,
             j2d_r=j2r, j2d_l=j2l, j3d_r=j3r, j3d_l=j3l,
             joints_valid_r=jvr, joints_valid_l=jvl,
+            joints3d_valid_r=jvr, joints3d_valid_l=jvl,
             right_valid=vr, left_valid=vl, is_valid=float(ok),
             loss_flags=dict(self._FLAGS), dataset=self.name,
         )

@@ -65,6 +65,9 @@ def stack_records(records: List[Record]) -> dict:
         out[flag] = np.asarray(
             [r.loss_flags.get(flag, 0.0) for r in records], np.float32
         )
+    if records[0].joints3d_valid_r is not None:
+        out["joints3d_valid_r"] = st(lambda r: r.joints3d_valid_r)
+        out["joints3d_valid_l"] = st(lambda r: r.joints3d_valid_l)
     if records[0].mask is not None:
         out["mask"] = st(lambda r: r.mask)
     if records[0].depth is not None:
@@ -219,6 +222,9 @@ class DevicePreprocessor:
             "joints_valid_r": batch["joints_valid_r"],
             "joints_valid_l": batch["joints_valid_l"],
         })
+        if "joints3d_valid_r" in batch:
+            targets["joints3d_valid_r"] = batch["joints3d_valid_r"]
+            targets["joints3d_valid_l"] = batch["joints3d_valid_l"]
         if self.cfg.use_grasp_loss:
             targets["grasp.r"] = batch["grasp_r"]
             targets["grasp.l"] = batch["grasp_l"]
@@ -310,6 +316,26 @@ class DeviceDataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.pre = DevicePreprocessor(cfg, is_train)
+        # epoch counter: advances once per full iteration so every epoch
+        # reshuffles and draws fresh augmentations (the reference's torch
+        # DataLoader reshuffles per epoch and its numpy augm RNG advances
+        # globally); (seed, epoch) -> stream stays run-level deterministic
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch index (mirrors DistributedSampler.set_epoch)."""
+        self._epoch = int(epoch)
+
+    def peek(self):
+        """First batch of the upcoming epoch WITHOUT advancing the epoch
+        counter — for model init, so the first training epoch still sees
+        every batch exactly once (the round-1 loop consumed + re-yielded the
+        init batch, training on it twice)."""
+        epoch = self._epoch
+        try:
+            return next(iter(self))
+        finally:
+            self._epoch = epoch
 
     def __len__(self):
         n = len(self.dataset)
@@ -317,10 +343,12 @@ class DeviceDataLoader:
 
     def __iter__(self):
         n = len(self.dataset)
+        epoch = self._epoch
+        self._epoch += 1
         order = np.arange(n)
         if self.is_train:
-            np.random.RandomState(self.seed).shuffle(order)
-        key = jax.random.PRNGKey(self.seed)
+            np.random.RandomState(self.seed * 100003 + epoch).shuffle(order)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
         for start in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
                            self.batch_size):
             idx = order[start:start + self.batch_size]

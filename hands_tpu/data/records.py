@@ -54,8 +54,12 @@ class Record:
     right_valid: float = 1.0
     left_valid: float = 1.0
     is_valid: float = 1.0
-    joints_valid_r: np.ndarray = None  # (21,)
+    joints_valid_r: np.ndarray = None  # (21,) 2D visibility
     joints_valid_l: np.ndarray = None
+    # (21,) per-joint 3D validity (EgoExo: drives the masked-Procrustes eval,
+    # reference eval_modules.py:231-317); None for dense-GT datasets
+    joints3d_valid_r: Optional[np.ndarray] = None
+    joints3d_valid_l: Optional[np.ndarray] = None
     grasp_valid_r: float = 0.0
     grasp_valid_l: float = 0.0
     mask_valid_r: float = 0.0

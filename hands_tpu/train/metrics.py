@@ -59,29 +59,79 @@ def eval_mpjpe_ra(pred, targets, meta_info) -> XDict:
     return out
 
 
+def _masked_pa_errors(gt, pr, hand_valid, jv):
+    """Per-sample (abs, rao, pa) errors under per-joint 3D validity —
+    the dense batched form of the reference's EgoExo loop
+    (eval_modules.py:231-317):
+
+    - root-align by the FIRST VALID joint (the loop's ``curr[0]`` after the
+      boolean gather), not joint 0;
+    - means run over valid joints only;
+    - the Procrustes fit uses only valid joints (masked == subset for 0/1
+      weights);
+    - the pa error is multiplied by ``hand_valid`` (reference
+      ``compute_errors`` quirk: an invalid hand scores 0.0, not NaN);
+    - hands with zero valid joints yield NaN for all three.
+    """
+    jvf = (jv > 0)
+    any_valid = jvf.any(axis=1)
+    root_idx = jnp.argmax(jvf, axis=1)
+
+    def take_root(x):
+        return jnp.take_along_axis(
+            x, root_idx[:, None, None].repeat(3, axis=2), axis=1)
+
+    def masked_mean(per_joint):
+        m = _nanmean(jnp.where(jvf, per_joint, jnp.nan), axis=1)
+        return jnp.where(any_valid, m, jnp.nan)
+
+    dist_abs = jnp.sqrt(jnp.sum((gt - pr) ** 2, axis=2))
+    abs_err = masked_mean(dist_abs)
+
+    gt_ra = gt - take_root(gt)
+    pr_ra = pr - take_root(pr)
+    dist_ra = jnp.sqrt(jnp.sum((gt_ra - pr_ra) ** 2, axis=2))
+    rao_err = masked_mean(dist_ra)
+
+    pr_hat = similarity_align_masked(pr_ra, gt_ra, jvf.astype(gt.dtype))
+    dist_pa = jnp.sqrt(jnp.sum((gt_ra - pr_hat) ** 2, axis=2))
+    pa_err = masked_mean(dist_pa) * hand_valid
+    pa_err = jnp.where(any_valid, pa_err, jnp.nan)
+    return {"abs": abs_err, "rao": rao_err, "ra": pa_err}
+
+
 def eval_mpjpe_pa_ra(pred, targets, meta_info) -> XDict:
     out = XDict()
     is_valid = targets["is_valid"]
     rv = targets["right_valid"] * is_valid
     lv = targets["left_valid"] * is_valid
-    # EgoExo path: per-joint 3D validity drives a weighted Procrustes
-    # (reference eval_modules.py:231-317)
+    # EgoExo path: per-joint 3D validity drives a masked Procrustes
+    # (reference eval_modules.py:231-317); presence of the key selects the
+    # branch (static per dataset config, jit-safe)
     jv_r = targets.get("joints3d_valid_r")
     jv_l = targets.get("joints3d_valid_l")
 
-    def pa_err(gt, pr, valid, jts_valid):
+    if jv_r is not None:
+        res_r = _masked_pa_errors(
+            targets["mano.j3d.cam.r"], pred["mano.j3d.cam.r"], rv, jv_r)
+        res_l = _masked_pa_errors(
+            targets["mano.j3d.cam.l"], pred["mano.j3d.cam.l"], lv, jv_l)
+        for name in ("abs", "rao", "ra"):
+            err_r, err_l = res_r[name], res_l[name]
+            out[f"mpjpe/pa/{name}/r"] = err_r * 1000.0
+            out[f"mpjpe/pa/{name}/l"] = err_l * 1000.0
+            out[f"mpjpe/pa/{name}/h"] = (
+                _nanmean(jnp.stack([err_r, err_l], axis=1), axis=1) * 1000.0)
+        return out
+
+    def pa_err(gt, pr, valid):
         gt_ra = gt - gt[:, :1, :]
         pr_ra = pr - pr[:, :1, :]
-        if jts_valid is not None:
-            pr_hat = similarity_align_masked(pr_ra, gt_ra, jts_valid)
-            per_joint = joint3d_error(gt_ra, pr_hat, valid)
-            per_joint = jnp.where(jts_valid > 0, per_joint, jnp.nan)
-            return _nanmean(per_joint, axis=1)
         pr_hat = similarity_align(pr_ra, gt_ra)
         return joint3d_error(gt_ra, pr_hat, valid).mean(axis=1)
 
-    err_r = pa_err(targets["mano.j3d.cam.r"], pred["mano.j3d.cam.r"], rv, jv_r)
-    err_l = pa_err(targets["mano.j3d.cam.l"], pred["mano.j3d.cam.l"], lv, jv_l)
+    err_r = pa_err(targets["mano.j3d.cam.r"], pred["mano.j3d.cam.r"], rv)
+    err_l = pa_err(targets["mano.j3d.cam.l"], pred["mano.j3d.cam.l"], lv)
     out["mpjpe/pa/ra/h"] = (
         _nanmean(jnp.stack([err_r, err_l], axis=1), axis=1) * 1000.0
     )

@@ -44,7 +44,8 @@ class Trainer:
         cfg = self.cfg
         num_epochs = num_epochs or cfg.num_epoch
 
-        first = next(iter(train_loader))
+        first = (train_loader.peek() if hasattr(train_loader, "peek")
+                 else next(iter(train_loader)))
         inputs, _, meta = first
         meta_dev = device_view(meta)
         variables = self.model.init(jax.random.PRNGKey(cfg.seed), inputs, meta_dev)

@@ -1,0 +1,314 @@
+"""Golden-parity tests: hands_tpu.train.{metrics,losses} vs the reference's
+own torch code (common/metrics.py, src/utils/loss_modules.py,
+src/utils/eval_modules.py), imported/loaded directly from /root/reference.
+
+eval_modules is loaded via ref_compat.load_eval_modules (its registry line
+references an undefined symbol upstream; the module body is intact).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import ref_compat
+from hands_tpu.train import losses as jlo
+from hands_tpu.train import metrics as jme
+
+ref_me = ref_compat.load("common.metrics")
+ref_lo = ref_compat.load("src.utils.loss_modules")
+ref_ev = ref_compat.load_eval_modules()
+ref_xdict = ref_compat.load("common.xdict").xdict
+
+
+def _close(ref, mine, atol=1e-5):
+    np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), atol=atol, rtol=0)
+
+
+def _hands(rng, B=12, J=21, invalid_rows=(2, 7)):
+    gt = rng.randn(B, J, 3).astype(np.float32) * 0.1
+    pred = (gt + rng.randn(B, J, 3).astype(np.float32) * 0.01)
+    valid = np.ones(B, np.float32)
+    for i in invalid_rows:
+        valid[i] = 0.0
+    return gt, pred, valid
+
+
+# ------------------------------------------------------------ common/metrics
+def test_compute_joint3d_error(rng):
+    gt, pred, valid = _hands(rng)
+    ref = ref_me.compute_joint3d_error(
+        torch.tensor(gt), torch.tensor(pred), torch.tensor(valid))
+    mine = jme.joint3d_error(jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(mine), ref, atol=1e-6, equal_nan=True)
+
+
+def test_compute_pixel_error(rng):
+    B, J = 8, 21
+    gt = rng.uniform(0, 224, (B, J, 2)).astype(np.float32)
+    pred = gt + rng.randn(B, J, 2).astype(np.float32)
+    jv = (rng.uniform(size=(B, J)) > 0.3).astype(np.float32)
+    ref = ref_me.compute_pixel_error(
+        torch.tensor(gt), torch.tensor(pred), torch.tensor(jv))
+    mine = jme.pixel_error(jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(jv))
+    np.testing.assert_allclose(np.asarray(mine), ref, atol=1e-5, equal_nan=True)
+
+
+def test_compute_mrrpe(rng):
+    B = 10
+    rr, rl = rng.randn(B, 3).astype(np.float32), rng.randn(B, 3).astype(np.float32)
+    pr, pl = rr + 0.01, rl - 0.02
+    valid = (rng.uniform(size=B) > 0.3).astype(np.float32)
+    ref = ref_me.compute_mrrpe(
+        torch.tensor(rr), torch.tensor(rl), torch.tensor(pr), torch.tensor(pl),
+        torch.tensor(valid))
+    rel_gt = rl - rr
+    rel_pred = pl - pr
+    err = np.sqrt(((rel_pred - rel_gt) ** 2).sum(1))
+    mine = np.where(valid > 0, err, np.nan)
+    np.testing.assert_allclose(mine, ref, atol=1e-6, equal_nan=True)
+
+
+def test_compute_arti_deg_error(rng):
+    pred = rng.uniform(-np.pi, np.pi, 16).astype(np.float32)
+    gt = rng.uniform(-np.pi, np.pi, 16).astype(np.float32)
+    ref = ref_me.compute_arti_deg_error(torch.tensor(pred), torch.tensor(gt))
+    from hands_tpu.train import metrics_object as jmo
+    mine = jnp.abs(jnp.rad2deg(jnp.asarray(pred)) - jnp.rad2deg(jnp.asarray(gt)))
+    _close(ref, mine, atol=1e-4)
+
+
+# ----------------------------------------------------------- eval_modules
+def _eval_inputs(rng, B=10):
+    gt_r, pred_r, _ = _hands(rng, B)
+    gt_l, pred_l, _ = _hands(rng, B)
+    rv = (rng.uniform(size=B) > 0.25).astype(np.float32)
+    lv = (rng.uniform(size=B) > 0.25).astype(np.float32)
+    iv = np.ones(B, np.float32)
+    iv[1] = 0.0
+    targets = {
+        "mano.j3d.cam.r": gt_r, "mano.j3d.cam.l": gt_l,
+        "right_valid": rv, "left_valid": lv, "is_valid": iv,
+    }
+    pred = {"mano.j3d.cam.r": pred_r, "mano.j3d.cam.l": pred_l}
+    return targets, pred
+
+
+def _to_torch(d):
+    return ref_xdict({k: torch.tensor(v) for k, v in d.items()})
+
+
+def _to_jax(d):
+    from hands_tpu.core.xdict import XDict
+    return XDict({k: jnp.asarray(v) for k, v in d.items()})
+
+
+def test_eval_mpjpe_ra_golden(rng):
+    targets, pred = _eval_inputs(rng)
+    ref = ref_ev.eval_mpjpe_ra(_to_torch(pred), _to_torch(targets),
+                               {"dataset": ["arctic"]})
+    mine = jme.eval_mpjpe_ra(_to_jax(pred), _to_jax(targets), {})
+    np.testing.assert_allclose(
+        np.asarray(mine["mpjpe/ra/h"]), ref["mpjpe/ra/h"], atol=1e-2,
+        equal_nan=True)
+
+
+def test_eval_mpjpe_pa_ra_golden_dense(rng):
+    """Non-egoexo branch. The reference zeroes (not NaNs) invalid hands
+    (compute_errors multiplies by valid); restrict the golden to all-valid
+    so the comparison is over the Procrustes math itself."""
+    targets, pred = _eval_inputs(rng)
+    targets["right_valid"][:] = 1
+    targets["left_valid"][:] = 1
+    targets["is_valid"][:] = 1
+    ref = ref_ev.eval_mpjpe_pa_ra(_to_torch(pred), _to_torch(targets),
+                                  {"dataset": ["arctic"]})
+    mine = jme.eval_mpjpe_pa_ra(_to_jax(pred), _to_jax(targets), {})
+    np.testing.assert_allclose(
+        np.asarray(mine["mpjpe/pa/ra/h"]), ref["mpjpe/pa/ra/h"], atol=5e-2,
+        equal_nan=True)
+
+
+def test_eval_mpjpe_pa_ra_golden_egoexo(rng):
+    """EgoExo branch: per-joint validity, first-valid-root alignment, masked
+    Procrustes — golden against the reference's python loop on all keys."""
+    targets, pred = _eval_inputs(rng)
+    B, J = targets["mano.j3d.cam.r"].shape[:2]
+    jv_r = (rng.uniform(size=(B, J)) > 0.3).astype(np.float32)
+    jv_l = (rng.uniform(size=(B, J)) > 0.3).astype(np.float32)
+    jv_r[0] = 0  # a hand with zero valid joints -> NaN row
+    jv_r[3, :5] = 0  # root joint invalid -> first-valid-root alignment
+    targets["joints3d_valid_r"] = jv_r
+    targets["joints3d_valid_l"] = jv_l
+    ref = ref_ev.eval_mpjpe_pa_ra(_to_torch(pred), _to_torch(targets),
+                                  {"dataset": ["egoexo"]})
+    mine = jme.eval_mpjpe_pa_ra(_to_jax(pred), _to_jax(targets),
+                                {"dataset": ["egoexo"]})
+    for key in ("mpjpe/pa/abs/r", "mpjpe/pa/abs/l", "mpjpe/pa/abs/h",
+                "mpjpe/pa/rao/r", "mpjpe/pa/rao/l", "mpjpe/pa/rao/h",
+                "mpjpe/pa/ra/r", "mpjpe/pa/ra/l", "mpjpe/pa/ra/h"):
+        np.testing.assert_allclose(
+            np.asarray(mine[key]), ref[key], atol=5e-2, equal_nan=True,
+            err_msg=key)
+
+
+def test_egoexo_masked_differs_from_unmasked(rng):
+    """The wiring regression the round-1 review caught: with per-joint
+    validity present, the masked path must actually change the result."""
+    targets, pred = _eval_inputs(rng)
+    B, J = targets["mano.j3d.cam.r"].shape[:2]
+    targets["right_valid"][:] = 1
+    targets["left_valid"][:] = 1
+    targets["is_valid"][:] = 1
+    unmasked = jme.eval_mpjpe_pa_ra(_to_jax(pred), _to_jax(targets), {})
+    jv = np.ones((B, J), np.float32)
+    jv[:, ::2] = 0
+    targets["joints3d_valid_r"] = jv
+    targets["joints3d_valid_l"] = jv
+    masked = jme.eval_mpjpe_pa_ra(_to_jax(pred), _to_jax(targets), {})
+    assert not np.allclose(np.asarray(masked["mpjpe/pa/ra/h"]),
+                           np.asarray(unmasked["mpjpe/pa/ra/h"]), atol=1e-6)
+
+
+def test_egoexo_validity_reaches_targets_through_pipeline(rng):
+    """records -> stack_records -> DevicePreprocessor emits
+    joints3d_valid_{r,l} so the masked eval path is live end-to-end."""
+    from hands_tpu.config import Config
+    from hands_tpu.data.datasets import SyntheticRecordDataset
+    from hands_tpu.data.device_pipeline import DevicePreprocessor, stack_records
+    cfg = Config()
+    ds = SyntheticRecordDataset(cfg, "tinyval")
+    records = [ds[i] for i in range(2)]
+    for r in records:
+        r.joints3d_valid_r = (rng.uniform(size=21) > 0.5).astype(np.float32)
+        r.joints3d_valid_l = np.ones(21, np.float32)
+    batch = stack_records(records)
+    assert "joints3d_valid_r" in batch
+    proc = DevicePreprocessor(cfg, is_train=False)
+    inputs, targets, meta = proc(batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(targets["joints3d_valid_r"]),
+        np.stack([r.joints3d_valid_r for r in records]))
+    # and without the fields, the key stays absent (dense branch)
+    batch2 = stack_records([ds[i] for i in range(2)])
+    assert "joints3d_valid_r" not in batch2
+
+
+# ------------------------------------------------------------ loss_modules
+def test_vector_loss(rng):
+    B = 8
+    pred = rng.randn(B, 10).astype(np.float32)
+    gt = rng.randn(B, 10).astype(np.float32)
+    valid = (rng.uniform(size=B) > 0.4).astype(np.float32)
+    crit = torch.nn.MSELoss(reduction="none")
+    ref = ref_lo.vector_loss(torch.tensor(pred), torch.tensor(gt), crit,
+                             torch.tensor(valid), return_mean=True).numpy()
+    mine = jlo._zero_guarded_mean(
+        jlo.vector_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(valid)),
+        valid.sum() > 0)
+    _close(ref.reshape(()), mine, atol=1e-6)
+    # all-invalid -> exact zero in both
+    z = np.zeros(B, np.float32)
+    ref0 = ref_lo.vector_loss(torch.tensor(pred), torch.tensor(gt), crit,
+                              torch.tensor(z), return_mean=True).numpy()
+    mine0 = jlo._zero_guarded_mean(
+        jlo.vector_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(z)),
+        z.sum() > 0)
+    assert float(mine0) == 0.0 and float(ref0.reshape(())) == 0.0
+
+
+def test_hand_kp3d_loss(rng):
+    B, J = 8, 21
+    pred = rng.randn(B, J, 3).astype(np.float32)
+    gt = rng.randn(B, J, 3).astype(np.float32)
+    jv = (rng.uniform(size=(B, J)) > 0.3).astype(np.float32)
+    crit = torch.nn.MSELoss(reduction="none")
+    ref = ref_lo.hand_kp3d_loss(torch.tensor(pred), torch.tensor(gt), crit,
+                                torch.tensor(jv), return_mean=True).numpy()
+    mine = jlo.hand_kp3d_loss(jnp.asarray(pred), jnp.asarray(gt),
+                              jnp.asarray(jv)).mean()
+    _close(ref.reshape(()), mine, atol=1e-6)
+
+
+def test_joints_loss_l1(rng):
+    B, J = 6, 21
+    pred = rng.randn(B, J, 3).astype(np.float32)
+    gt = rng.randn(B, J, 3).astype(np.float32)
+    jv = (rng.uniform(size=(B, J)) > 0.3).astype(np.float32)
+    crit = torch.nn.L1Loss(reduction="none")
+    ref = ref_lo.joints_loss(torch.tensor(pred), torch.tensor(gt), crit,
+                             torch.tensor(jv), return_mean=True).numpy()
+    mine = jlo.joints_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(jv),
+                           criterion=jlo._l1).mean()
+    _close(ref.reshape(()), mine, atol=1e-6)
+
+
+def test_mano_loss(rng):
+    B = 8
+    rotmat_p = rng.randn(B, 16 * 9).astype(np.float32)
+    rotmat_g = rng.randn(B, 16 * 9).astype(np.float32)
+    beta_p = rng.randn(B, 10).astype(np.float32)
+    beta_g = rng.randn(B, 10).astype(np.float32)
+    valid = (rng.uniform(size=B) > 0.4).astype(np.float32)
+    crit = torch.nn.MSELoss(reduction="none")
+    ref_p, ref_b = ref_lo.mano_loss(
+        torch.tensor(rotmat_p), torch.tensor(beta_p), torch.tensor(rotmat_g),
+        torch.tensor(beta_g), crit, torch.tensor(valid), return_mean=True)
+    any_v = valid.sum() > 0
+    mine_p = jlo._zero_guarded_mean(
+        jlo.vector_loss(jnp.asarray(rotmat_p), jnp.asarray(rotmat_g),
+                        jnp.asarray(valid)), any_v)
+    mine_b = jlo._zero_guarded_mean(
+        jlo.vector_loss(jnp.asarray(beta_p), jnp.asarray(beta_g),
+                        jnp.asarray(valid)), any_v)
+    _close(ref_p.numpy().reshape(()), mine_p, atol=1e-6)
+    _close(ref_b.numpy().reshape(()), mine_b, atol=1e-6)
+
+
+def test_object_kp3d_loss(rng):
+    B, K2 = 8, 32
+    pred = rng.randn(B, K2, 3).astype(np.float32)
+    gt = rng.randn(B, K2, 3).astype(np.float32)
+    valid = (rng.uniform(size=B) > 0.4).astype(np.float32)
+    crit = torch.nn.MSELoss(reduction="none")
+    ref = ref_lo.object_kp3d_loss(torch.tensor(pred), torch.tensor(gt), crit,
+                                  torch.tensor(valid)).numpy()
+    root = K2 // 2
+    pred_ra = pred - pred[:, root:root + 1]
+    gt_ra = gt - gt[:, root:root + 1]
+    mine = jlo._zero_guarded_mean(
+        jlo.vector_loss(jnp.asarray(pred_ra), jnp.asarray(gt_ra),
+                        jnp.asarray(valid)), valid.sum() > 0)
+    _close(ref.reshape(()), mine, atol=1e-6)
+
+
+def test_grasp_loss(rng):
+    B, C = 8, 9
+    logits = rng.randn(B, C).astype(np.float32)
+    labels = rng.randint(0, C, B)
+    valid = (rng.uniform(size=B) > 0.4).astype(np.float32)
+    ref = ref_lo.grasp_loss(torch.tensor(logits), torch.tensor(labels),
+                            torch.tensor(valid), return_mean=True).numpy()
+    mine = jlo.grasp_ce_loss(jnp.asarray(logits), jnp.asarray(labels),
+                             jnp.asarray(valid)).mean()
+    _close(ref.reshape(()), mine, atol=1e-5)
+
+
+def test_render_loss(rng):
+    B, H, W = 4, 16, 16
+    pred = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    gt = (rng.uniform(size=(B, H, W)) > 0.5).astype(np.float32)
+    valid = np.asarray([1, 0, 1, 1], np.float32)
+    ref = ref_lo.render_loss(torch.tensor(pred), torch.tensor(gt),
+                             torch.tensor(valid), return_mean=True).numpy()
+    mine = jlo.render_l1_loss(jnp.asarray(pred), jnp.asarray(gt),
+                              jnp.asarray(valid)).mean()
+    _close(ref.reshape(()), mine, atol=1e-6)
+
+
+def test_subtract_root_batch(rng):
+    x = rng.randn(4, 21, 3).astype(np.float32)
+    ref = ref_lo.subtract_root_batch(torch.tensor(x), 0).numpy()
+    _close(ref, jnp.asarray(x) - jnp.asarray(x)[:, :1], atol=1e-7)
