@@ -38,6 +38,10 @@ class Config:
     img_res_ds: int = 224
     focal_length: float = 1000.0
     use_gt_k: bool = False
+    # GT-joint-derived hand boxes (reference configs/*_light.py all pin
+    # use_gt_bbox=True — detected boxes only on the EPIC test path)
+    use_gt_bbox: bool = True
+    bbox_scale: float = 1.5
     ego_image_scale: float = 0.3
 
     # --- augmentation (reference parser.py:39-58)

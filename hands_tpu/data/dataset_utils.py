@@ -14,15 +14,16 @@ from typing import List, Sequence
 
 import numpy as np
 
+# reference get_num_images (dataset_utils.py:138-168), exact values
 _SPLIT_SIZES = {
     "minitrain": 300,
-    "tinytrain": 50,
-    "smalltrain": 20000,
+    "tinytrain": 12000,
+    "smalltrain": 100000,
     "minival": 80,
-    "tinyval": 40,
+    "tinyval": 500,
     "smallval": 12000,
-    "minitest": 80,
-    "tinytest": 40,
+    "minitest": 200,
+    "tinytest": 6000,
     "smalltest": 12000,
 }
 
@@ -49,9 +50,10 @@ def downsample(fnames: Sequence, split: str) -> List:
         "from the reference selection"
     )
     fnames = list(fnames)
-    rng.shuffle(fnames)
     num_samples = get_num_images(split, len(fnames))
-    return fnames[:num_samples]
+    # random.sample on the seeded stream — byte-identical subset selection
+    # to the reference (dataset_utils.py:187-199)
+    return rng.sample(fnames, num_samples)
 
 
 def pad_jts2d(jts: np.ndarray) -> np.ndarray:
@@ -95,10 +97,10 @@ def transform_2d_for_speedup(speedup: bool, is_egocam: bool,
 
 
 def get_valid(j2d: np.ndarray, img_w: int, img_h: int, min_visible: int = 3):
-    """Per-joint visibility from in-frame test + sample validity (>=3 joints
-    visible, epic_dataset.py:499-500)."""
+    """Per-joint visibility from in-frame test + sample validity (strictly
+    more than ``min_visible`` joints visible, epic_dataset.py:499-500)."""
     vis = (
         (j2d[:, 0] >= 0) & (j2d[:, 0] < img_w)
         & (j2d[:, 1] >= 0) & (j2d[:, 1] < img_h)
     ).astype(np.float32)
-    return vis, float(vis.sum() >= min_visible)
+    return vis, float(vis.sum() > min_visible)

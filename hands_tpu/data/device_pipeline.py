@@ -37,9 +37,30 @@ def stack_records(records: List[Record]) -> dict:
     def st(fn):
         return np.stack([np.asarray(fn(r), np.float32) for r in records])
 
+    def det_boxes(fn):
+        boxes = [fn(r) for r in records]
+        ok = np.asarray([b is not None for b in boxes], np.float32)
+        vals = np.stack([
+            np.asarray(b, np.float32) if b is not None
+            else np.zeros(4, np.float32) for b in boxes])
+        return vals, ok
+
+    r_det, r_ok = det_boxes(lambda r: r.r_bbox)
+    l_det, l_ok = det_boxes(lambda r: r.l_bbox)
     out = {
         "image": st(lambda r: r.image),
         "K": st(lambda r: r.K),
+        "is_egocam": np.asarray([r.is_egocam for r in records], np.float32),
+        # -1 sentinels: fall back to the config-level camera policy on device
+        "use_gt_k": np.asarray(
+            [-1.0 if r.use_gt_k is None else float(r.use_gt_k)
+             for r in records], np.float32),
+        "wp_focal": np.asarray(
+            [-1.0 if r.wp_focal is None else float(r.wp_focal)
+             for r in records], np.float32),
+        "bbox_mode": np.asarray([r.bbox_mode for r in records], np.float32),
+        "r_bbox_det": r_det, "r_bbox_ok": r_ok,
+        "l_bbox_det": l_det, "l_bbox_ok": l_ok,
         "j2d_r": st(lambda r: r.j2d_r),
         "j2d_l": st(lambda r: r.j2d_l),
         "j3d_r": st(lambda r: r.j3d_r),
@@ -74,6 +95,10 @@ def stack_records(records: List[Record]) -> dict:
         out["depth"] = st(lambda r: r.depth)
     out["_imgnames"] = [r.imgname for r in records]
     out["_dataset"] = [r.dataset for r in records]
+    # host-side passthrough: egocam distortion coeffs (NaN for non-ego,
+    # reference meta_info["dist"]) — kept out of the jitted program so
+    # --debug NaN guards stay meaningful
+    out["_dist"] = st(lambda r: r.dist)
     return out
 
 
@@ -95,6 +120,10 @@ class DevicePreprocessor:
             k_aug, B, self.is_train, cfg.flip_prob, cfg.noise_factor,
             cfg.rot_factor, cfg.scale_factor,
         )
+        # "no scaling for egocam to make intrinsics consistent"
+        # (hands_light_dataset.py:113-116 and every in-the-wild dataset)
+        augm = dict(augm)
+        augm["sc"] = jnp.where(batch["is_egocam"] > 0, 1.0, augm["sc"])
 
         # ---- 2. full-image patch
         center = batch["bbox"][:, :2]
@@ -109,34 +138,117 @@ class DevicePreprocessor:
         j2d_r = pp.j2d_crop_transform(batch["j2d_r"], center, bbox_dim, augm, res)
         j2d_l = pp.j2d_crop_transform(batch["j2d_l"], center, bbox_dim, augm, res)
 
-        # ---- 4. hand bboxes from GT joints (patch pixel space) + jitter
-        def joints_bbox(j2d_norm, jkey):
-            px = (j2d_norm[..., :2] + 1.0) * 0.5 * res  # (B, 21, 2)
-            conf = j2d_norm[..., 2:]
-            big = jnp.where(conf > 0, px, jnp.inf)
-            small = jnp.where(conf > 0, px, -jnp.inf)
-            lo = jnp.clip(jnp.min(big, axis=1), 0, res - 1)
-            hi = jnp.clip(jnp.max(small, axis=1), 0, res - 1)
+        # ---- 4. hand boxes in patch pixel space.
+        # GT-joint boxes (reference hands_light_dataset.py:137-151 /
+        # epic_dataset.py:135-161: min/max over the *valid* joints, int16
+        # floor, degenerate -> full image) with train-time jitter
+        # (jitter then re-check degeneracy, L:156-163); or the provided
+        # detected boxes mapped through the patch transform by their corner
+        # endpoints (epic_dataset.py:165-195, *_grasp/seg/depth).
+        resm1 = res - 1.0
+
+        def joints_tight(j2d_norm, jvalid):
+            px = (j2d_norm[..., :2] + 1.0) * 0.5 * resm1  # (B, 21, 2)
+            v = (jvalid > 0)[..., None]
+            lo = jnp.clip(jnp.min(jnp.where(v, px, jnp.inf), axis=1), 0, resm1)
+            hi = jnp.clip(jnp.max(jnp.where(v, px, -jnp.inf), axis=1), 0, resm1)
+            none_valid = ~jnp.any(v[:, :, 0], axis=1)
             lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
-            hi = jnp.where(jnp.isfinite(hi), hi, res - 1.0)
-            xywh = jnp.concatenate([lo, hi - lo], axis=-1)
-            if self.is_train:
-                xywh = pp.jitter_bbox(jkey, xywh)
-            x0y0 = xywh[:, :2]
-            return jnp.concatenate([x0y0, x0y0 + xywh[:, 2:]], axis=-1)
+            hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
+            xywh = jnp.floor(jnp.concatenate([lo, hi - lo], axis=-1))
+            degenerate = none_valid | (xywh[:, 2] <= 0) | (xywh[:, 3] <= 0)
+            return xywh, degenerate
 
-        r_bbox = pp.crop_and_pad_bbox(joints_bbox(j2d_r, k_jit_r), res)
-        l_bbox = pp.crop_and_pad_bbox(joints_bbox(j2d_l, k_jit_l), res)
+        def provided_tight(det_xyxy, ok):
+            # map the two corner endpoints through the same patch transform
+            # as the keypoints (epic_dataset.py:185-191)
+            pts = det_xyxy.reshape(B, 2, 2)
+            pts = jnp.concatenate([pts, jnp.ones((B, 2, 1))], axis=-1)
+            tp = pp.j2d_crop_transform(pts, center, bbox_dim, augm, res)
+            px = jnp.clip((tp[..., :2] + 1.0) * 0.5 * res, 0, resm1)
+            xywh = jnp.concatenate(
+                [px[:, 0], px[:, 1] - px[:, 0]], axis=-1)
+            xywh = jnp.floor(xywh)
+            degenerate = (ok <= 0) | (xywh[:, 2] <= 0) | (xywh[:, 3] <= 0)
+            return xywh, degenerate
 
-        # ---- 5. intrinsics in patch space (needed for PCL crops too)
-        K_patch = camlib.crop_adjusted_intrinsics(
+        def jitter_recheck(xywh, degen, jkey):
+            if not self.is_train:
+                return xywh, degen
+            j = jnp.floor(pp.jitter_bbox(jkey, xywh))
+            x0 = jnp.clip(j[:, 0], 0, resm1)
+            y0 = jnp.clip(j[:, 1], 0, resm1)
+            x1 = jnp.clip(j[:, 0] + j[:, 2], 0, resm1)
+            y1 = jnp.clip(j[:, 1] + j[:, 3], 0, resm1)
+            new = jnp.stack([x0, y0, x1 - x0, y1 - y0], axis=-1)
+            return new, degen | (new[:, 2] <= 0) | (new[:, 3] <= 0)
+
+        mode = batch["bbox_mode"] > 0  # (B,) provided-box records
+
+        def hand_boxes(j2d_norm, jvalid, det, det_ok, jkey):
+            gt_xywh, gt_degen = joints_tight(j2d_norm, jvalid)
+            og = jnp.where(
+                gt_degen[:, None],
+                jnp.asarray([0.0, 0.0, resm1, resm1]), gt_xywh)
+            gt_xywh, gt_degen = jitter_recheck(gt_xywh, gt_degen, jkey)
+            pr_xywh, pr_degen = provided_tight(det, det_ok)
+            pr_og = jnp.where(
+                pr_degen[:, None],
+                jnp.asarray([0.0, 0.0, resm1, resm1]), pr_xywh)
+            xywh = jnp.where(mode[:, None], pr_xywh, gt_xywh)
+            degen = jnp.where(mode, pr_degen, gt_degen)
+            og = jnp.where(mode[:, None], pr_og, og)
+            return xywh, degen, og
+
+        r_xywh, r_full, r_bbox_og = hand_boxes(
+            j2d_r, batch["joints_valid_r"], batch["r_bbox_det"],
+            batch["r_bbox_ok"], k_jit_r)
+        l_xywh, l_full, l_bbox_og = hand_boxes(
+            j2d_l, batch["joints_valid_l"], batch["l_bbox_det"],
+            batch["l_bbox_ok"], k_jit_l)
+
+        # square max-side crop geometry (reference crop_and_pad,
+        # data_utils.py:495-509: centre/size from the *unclipped* tight box,
+        # returned box clipped; a degenerate box -> full-image resize)
+        def crop_geom(xywh, full):
+            x0, y0, w, h = (xywh[:, i] for i in range(4))
+            xm = jnp.floor((2.0 * x0 + w) / 2.0)
+            ym = jnp.floor((2.0 * y0 + h) / 2.0)
+            size = jnp.maximum(w, h) * cfg.bbox_scale
+            xm = jnp.where(full, res / 2.0, xm)
+            ym = jnp.where(full, res / 2.0, ym)
+            size = jnp.where(full, float(res), size)
+            half = size // 2
+            box = jnp.stack(
+                [xm - half, ym - half, xm + half, ym + half], axis=-1)
+            box = jnp.clip(box, 0, resm1)
+            box = jnp.where(full[:, None],
+                            jnp.asarray([0.0, 0.0, resm1, resm1]), box)
+            return box, xm, ym, size
+
+        r_bbox, r_cx, r_cy, r_size = crop_geom(r_xywh, r_full)
+        l_bbox, l_cx, l_cy, l_size = crop_geom(l_xywh, l_full)
+
+        # ---- 5. intrinsics in patch space (needed for PCL crops too).
+        # Per-sample camera policy: crop-adjusted GT K for egocam/GT-K
+        # records, weak-perspective K (per-record focal) otherwise; -1
+        # sentinels defer to the config.
+        K_gt = camlib.crop_adjusted_intrinsics(
             batch["K"], center[:, 0], center[:, 1], augm["sc"] * bbox_dim, res
         )
-        if not cfg.use_gt_k:
-            K_patch = jnp.broadcast_to(
-                camlib.weak_perspective_intrinsics(cfg.focal_length, res),
-                (B, 3, 3),
-            )
+        wp_f = jnp.where(batch["wp_focal"] > 0, batch["wp_focal"],
+                         cfg.focal_length)
+        c0 = jnp.full((B,), float(res // 2))
+        zeros = jnp.zeros((B,))
+        ones = jnp.ones((B,))
+        K_wp = jnp.stack([
+            jnp.stack([wp_f, zeros, c0], -1),
+            jnp.stack([zeros, wp_f, c0], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ], axis=1)
+        use_k = jnp.where(batch["use_gt_k"] < 0,
+                          1.0 if cfg.use_gt_k else 0.0, batch["use_gt_k"])
+        K_patch = jnp.where(use_k[:, None, None] > 0, K_gt, K_wp)
 
         # ---- 6. per-hand crops from the augmented patch
         r_rot = l_rot = None
@@ -144,10 +256,12 @@ class DevicePreprocessor:
             r_img, r_rot = pp.pcl_crop(img, r_bbox, K_patch, cfg.img_res_ds)
             l_img, l_rot = pp.pcl_crop(img, l_bbox, K_patch, cfg.img_res_ds)
         else:
-            r_img = pp.crop_and_pad_images(img, r_bbox, cfg.img_res_ds,
-                                           scale=1.0, method="bilinear")
-            l_img = pp.crop_and_pad_images(img, l_bbox, cfg.img_res_ds,
-                                           scale=1.0, method="bilinear")
+            r_img = jnp.clip(pp.crop_resize_separable(
+                img, r_cx, r_cy, r_size, cfg.img_res_ds, method="bilinear"),
+                0.0, 1.0)
+            l_img = jnp.clip(pp.crop_resize_separable(
+                img, l_cx, l_cy, l_size, cfg.img_res_ds, method="bilinear"),
+                0.0, 1.0)
 
         # ---- horizontal flip (augm): mirror pixels; bboxes mirror AND swap
         # sides (reference hands_light_dataset.py:190-197 — the model's
@@ -166,6 +280,7 @@ class DevicePreprocessor:
             return jnp.stack([res - 1 - x1, y0, res - 1 - x0, y1], axis=-1)
 
         fb = augm["flip"].reshape(B, 1)
+        r_bbox_noflip, l_bbox_noflip = r_bbox, l_bbox
         r_bbox, l_bbox = (
             jnp.where(fb > 0, mirror_bbox(l_bbox), r_bbox),
             jnp.where(fb > 0, mirror_bbox(r_bbox), l_bbox),
@@ -177,6 +292,10 @@ class DevicePreprocessor:
             "l_img": pp.normalize_imagenet(l_img, cfg.img_norm_mean, cfg.img_norm_std),
             "r_bbox": r_bbox,
             "l_bbox": l_bbox,
+            # pre-expansion boxes, xywh int16 semantics (reference
+            # inputs['r_bbox_og'] — frankmocap-style eval consumers)
+            "r_bbox_og": r_bbox_og,
+            "l_bbox_og": l_bbox_og,
         })
         if r_rot is not None:
             inputs["r_rot"] = r_rot
@@ -246,9 +365,20 @@ class DevicePreprocessor:
         if self.cfg.use_depth_loss:
             if "depth" in batch:
                 d = pp.mask_crop(batch["depth"], center, bbox_dim, augm, res,
-                                 apply_rot=self.is_train)
-                targets["depth.r"] = d[..., 0]
-                targets["depth.l"] = d[..., 0]
+                                 apply_rot=self.is_train)[..., 0]
+                # per-hand depth = patch depth clipped to the hand's crop box
+                # (epic_depth_dataset.py:181-190)
+                xs = jnp.arange(res, dtype=jnp.float32)
+
+                def region(box):
+                    in_x = ((xs[None, None, :] >= box[:, 0, None, None])
+                            & (xs[None, None, :] < box[:, 2, None, None]))
+                    in_y = ((xs[None, :, None] >= box[:, 1, None, None])
+                            & (xs[None, :, None] < box[:, 3, None, None]))
+                    return (in_x & in_y).astype(d.dtype)
+
+                targets["depth.r"] = d * region(r_bbox_noflip)
+                targets["depth.l"] = d * region(l_bbox_noflip)
             else:
                 targets["depth.r"] = jnp.zeros((B, res, res))
                 targets["depth.l"] = jnp.zeros((B, res, res))
@@ -256,6 +386,8 @@ class DevicePreprocessor:
         meta_info = XDict({
             "intrinsics": K_patch,
             "is_flipped": augm["flip"],
+            "center": center,
+            "rot_angle": augm["rot"],
         })
         for flag in LOSS_FLAGS:
             meta_info[flag] = batch[flag]
@@ -266,6 +398,8 @@ class DevicePreprocessor:
             k: v for k, v in record_batch.items() if not k.startswith("_")
         }
         inputs, targets, meta_info = self._fn(device_batch, key)
+        if "_dist" in record_batch:
+            meta_info["dist"] = record_batch["_dist"]
         return inputs, targets, meta_info
 
 
@@ -305,16 +439,28 @@ class PrefetchLoader:
 
 
 class DeviceDataLoader:
-    """Host dataset of Records -> stream of device-preprocessed batches."""
+    """Host dataset of Records -> stream of device-preprocessed batches.
+
+    Record fetches (file read + native JPEG/PNG decode, both GIL-free) run
+    on a thread pool with a bounded batch lookahead — the reference's
+    16-worker DataLoader analogue (configs/generic.py:20) without process
+    forking: the only host work per record is decode, everything geometric
+    runs on device. Output order and augmentation draws are identical to the
+    sequential path (futures are consumed in submission order).
+    """
 
     def __init__(self, dataset, cfg: Config, batch_size: int, is_train: bool,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True,
+                 num_workers: int = None, lookahead_batches: int = 4):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
         self.is_train = is_train
         self.seed = seed
         self.drop_last = drop_last
+        self.num_workers = (cfg.num_workers if num_workers is None
+                            else num_workers)
+        self.lookahead_batches = lookahead_batches
         self.pre = DevicePreprocessor(cfg, is_train)
         # epoch counter: advances once per full iteration so every epoch
         # reshuffles and draws fresh augmentations (the reference's torch
@@ -341,6 +487,39 @@ class DeviceDataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _iter_record_batches(self, order):
+        """Yield lists of Records for each index batch, fetched by a thread
+        pool with bounded lookahead (num_workers == 0 -> sequential)."""
+        n = len(order)
+        step = self.batch_size
+        starts = range(0, n - (step - 1 if self.drop_last else 0), step)
+        if self.num_workers <= 0:
+            for s in starts:
+                yield [self.dataset[int(i)] for i in order[s:s + step]]
+            return
+        import concurrent.futures as cf
+        from collections import deque
+
+        with cf.ThreadPoolExecutor(self.num_workers) as ex:
+            pending = deque()
+            it = iter(starts)
+
+            def submit():
+                s = next(it, None)
+                if s is None:
+                    return False
+                pending.append([ex.submit(self.dataset.__getitem__, int(i))
+                                for i in order[s:s + step]])
+                return True
+
+            for _ in range(self.lookahead_batches):
+                if not submit():
+                    break
+            while pending:
+                futs = pending.popleft()
+                submit()
+                yield [f.result() for f in futs]
+
     def __iter__(self):
         n = len(self.dataset)
         epoch = self._epoch
@@ -349,10 +528,7 @@ class DeviceDataLoader:
         if self.is_train:
             np.random.RandomState(self.seed * 100003 + epoch).shuffle(order)
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
-        for start in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
-                           self.batch_size):
-            idx = order[start:start + self.batch_size]
-            records = [self.dataset[int(i)] for i in idx]
+        for records in self._iter_record_batches(order):
             n_pad = self.batch_size - len(records)
             if n_pad > 0:
                 # pad the tail batch to the fixed shape (one compiled program

@@ -42,9 +42,27 @@ class Record:
     beta_l: np.ndarray = None
     # scene bbox driving the full-image patch: (cx, cy, scale/200px)
     bbox: np.ndarray = None
-    # optional precomputed hand boxes in image space, (4,) xywh
+    # optional detected hand boxes in `image` pixel space, (4,) [x0,y0,x1,y1]
+    # (reference epic_dataset.py:165-195: consumed when use_gt_bbox=False)
     r_bbox: Optional[np.ndarray] = None
     l_bbox: Optional[np.ndarray] = None
+    # hand-box source: 0 -> boxes from GT joints (+train jitter), 1 -> the
+    # provided r_bbox/l_bbox (grasp/seg/depth datasets and the EPIC
+    # detected-box test path; a missing provided box means a full-image crop,
+    # reference crop_and_pad None branch, data_utils.py:495-501)
+    bbox_mode: float = 0.0
+    # per-record camera semantics (reference per-dataset __getitem__ quirks):
+    # is_egocam forces augm sc=1.0 on device ("no scaling for egocam to make
+    # intrinsics consistent", hands_light_dataset.py:113-116);
+    # use_gt_k: 1 -> crop-adjusted GT K, 0 -> weak-persp K with `wp_focal`,
+    # None -> follow cfg.use_gt_k / cfg.focal_length (epic_dataset.py:238-249
+    # scales the wp focal by img_res/max(W, H))
+    is_egocam: float = 0.0
+    use_gt_k: Optional[float] = None
+    wp_focal: Optional[float] = None
+    # (8,) egocam distortion coefficients (hands_light_dataset.py:470-473;
+    # NaN for non-ego views)
+    dist: Optional[np.ndarray] = None
     # aux labels
     grasp_r: int = 8  # 8 == "no grasp" (epic_grasp_dataset.py:43-52)
     grasp_l: int = 8
@@ -96,6 +114,8 @@ class Record:
             self.joints_valid_r = np.full(21, self.right_valid, np.float32)
         if self.joints_valid_l is None:
             self.joints_valid_l = np.full(21, self.left_valid, np.float32)
+        if self.dist is None:
+            self.dist = np.full(8, np.nan, np.float32)
         for flag in LOSS_FLAGS:
             self.loss_flags.setdefault(flag, 0.0)
 

@@ -113,9 +113,13 @@ class ViTBackbone(nn.Module):
         B, H, W, _ = x.shape
         hp, wp = H // self.patch_size, W // self.patch_size
 
+        # explicit 2px zero padding matches ViTPose's PatchEmbed conv
+        # (reference vit.py:168, padding = 4 + 2*(ratio//2 - 1) = 2 at
+        # ratio=1) so imported checkpoints see identical patch windows
         x = nn.Conv(
             C, (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
+            padding=((2, 2), (2, 2)),
             dtype=self.dtype, name="patch_embed",
         )(x)
         x = x.reshape(B, hp * wp, C)

@@ -112,6 +112,14 @@ class Trainer:
         batch = next(iter(loader))
         inputs, targets, meta = batch
         meta_dev = device_view(meta)
+        # populate GT FK keys (v3d/j3d.cam) so the GT render panel exists
+        # (reference wrapper mode='vis' runs process_data first)
+        if hasattr(self.model, "mano_r"):
+            from hands_tpu.train.process import process_data_light
+
+            inputs, targets, meta_dev = process_data_light(
+                self.model.mano_r, self.model.mano_l, inputs, targets,
+                meta_dev, self.cfg.img_res)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         pred = self.model(variables, inputs, meta_dev, train=False)
         vis_dict = XDict()

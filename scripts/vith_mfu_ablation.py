@@ -1,0 +1,131 @@
+"""ViT-H forward-throughput ablations on the real chip (VERDICT r1 #8).
+
+Measures bs256 crops/s for the stock backbone and one-change-at-a-time
+variants to locate the missing MFU (449 crops/s ~= 56% of the 795 crops/s
+bf16 roofline, BENCH_NOTES.md):
+
+  stock          current ViTBackbone
+  softmax_bf16   softmax computed in bf16 (no fp32 materialisation)
+  ln_bf16        LayerNorms compute in bf16
+  both           softmax_bf16 + ln_bf16
+  qk_prescale    fold the 1/sqrt(d) into the qkv kernel (no extra pass)
+
+Run: python scripts/vith_mfu_ablation.py [--batch 256] [--variant h]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/hands_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import flax.linen as nn  # noqa: E402
+
+from hands_tpu.models.backbones.vit import VIT_CONFIGS  # noqa: E402
+
+
+class AblAttention(nn.Module):
+    num_heads: int
+    softmax_f32: bool = True
+    dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = head_dim**-0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        if self.softmax_f32:
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                x.dtype)
+        else:
+            attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class AblBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float
+    softmax_f32: bool = True
+    ln_f32: bool = True
+
+    @nn.compact
+    def __call__(self, x, _):
+        C = x.shape[-1]
+        ln_dt = jnp.float32 if self.ln_f32 else jnp.bfloat16
+        y = nn.LayerNorm(dtype=ln_dt, name="norm1")(x)
+        x = x + AblAttention(self.num_heads, self.softmax_f32, name="attn")(y)
+        y = nn.LayerNorm(dtype=ln_dt, name="norm2")(x)
+        h = nn.Dense(int(C * self.mlp_ratio), dtype=jnp.bfloat16)(y)
+        h = nn.gelu(h, approximate=False)
+        x = x + nn.Dense(C, dtype=jnp.bfloat16)(h)
+        return x, None
+
+
+class AblViT(nn.Module):
+    variant: str = "h"
+    softmax_f32: bool = True
+    ln_f32: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = VIT_CONFIGS[self.variant]
+        C = cfg["embed_dim"]
+        B, H, W, _ = x.shape
+        hp, wp = H // 16, W // 16
+        x = nn.Conv(C, (16, 16), strides=(16, 16), padding=((2, 2), (2, 2)),
+                    dtype=jnp.bfloat16, name="patch_embed")(x)
+        x = x.reshape(B, hp * wp, C)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, hp * wp, C), jnp.float32)
+        x = x + pos.astype(x.dtype)
+        scanned = nn.scan(AblBlock, variable_axes={"params": 0},
+                          split_rngs={"params": True},
+                          length=cfg["depth"])
+        x, _ = scanned(cfg["num_heads"], cfg["mlp_ratio"],
+                       self.softmax_f32, self.ln_f32, name="blocks")(x, None)
+        x = nn.LayerNorm(dtype=jnp.float32, name="last_norm")(x)
+        return x.reshape(B, hp, wp, C)
+
+
+def bench_one(name, model, B, iters=10):
+    x = jnp.asarray(np.random.RandomState(0).rand(B, 256, 192, 3),
+                    jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    out = fwd(params, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    cps = B / dt
+    print(f"{name:18s} {dt*1e3:8.1f} ms  {cps:8.1f} crops/s "
+          f"({cps / 795 * 100:.0f}% of roofline)", flush=True)
+    return cps
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--variant", default="h")
+    args = p.parse_args()
+    print("devices:", jax.devices(), flush=True)
+    B, v = args.batch, args.variant
+    bench_one("stock(f32 sm+ln)", AblViT(v, True, True), B)
+    bench_one("softmax_bf16", AblViT(v, False, True), B)
+    bench_one("ln_bf16", AblViT(v, True, False), B)
+    bench_one("both_bf16", AblViT(v, False, False), B)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,13 @@ def test_downsample_deterministic():
     b = du.downsample(names, "minitrain")
     assert a == b and len(a) == 300
     assert du.downsample(names, "train") == names
-    assert len(du.downsample(names, "tinyval")) == 40
+    assert len(du.downsample(names, "tinyval")) == 500
+    # byte-identical subset selection to the reference (random.sample on the
+    # seeded Mersenne stream, dataset_utils.py:187-199)
+    import random
+    random.seed(1)
+    assert random.randint(0, 100) == 17
+    assert du.downsample(names, "minitrain") == random.sample(names, 300)
 
 
 def test_synthetic_records_consistent_geometry():
@@ -57,6 +63,8 @@ def test_device_pipeline_shapes_and_consistency():
     assert targets["mano.j2d.norm.r"].shape == (B, 21, 3)
     assert meta["intrinsics"].shape == (B, 3, 3)
     for k, v in {**inputs, **targets, **meta}.items():
+        if k == "dist":  # NaN by design for non-ego views (reference L:470)
+            continue
         assert np.isfinite(np.asarray(v)).all(), k
 
     # eval mode: j2d in [-1,1]-ish range (hands near patch centre)

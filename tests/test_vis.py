@@ -77,6 +77,12 @@ def test_visualize_all_from_model_output():
     vis_dict.merge(XDict(meta).prefix("meta_info."))
     images = visualize_all(vis_dict, cfg, max_examples=1)
     names = [n for n, _ in images]
-    assert "kps_0" in names and "mesh_0" in names
+    # reference-layout figure set (visualize_arctic.py:116-392): one 2x2 kp
+    # grid per flag + the titled [input | pred render] strip
+    assert "0__targets_kps" in names and "0__pred_kps" in names
+    assert any(n.startswith("0__rend_rvalid=") for n in names)
     for _, img in images:
         assert img.ndim == 3 and img.shape[2] == 3
+    # the kp grid is a 2x2 matplotlib figure (roughly square, ~600px)
+    grid = dict(images)["0__pred_kps"]
+    assert abs(grid.shape[0] - grid.shape[1]) < grid.shape[0] * 0.2
