@@ -28,13 +28,25 @@ import numpy as np
 BASELINE = 5000.0  # BASELINE.json target crops/sec/chip
 
 
+def _fetch_one(out):
+    """Force completion by fetching ONE scalar of the last output.
+
+    Through the axon tunnel ``jax.block_until_ready`` does not actually
+    block, so dispatch-only timing wildly overestimates throughput. The
+    device executes its queue in order, so transferring one element of the
+    last program's output is an honest (and cheap) barrier.
+    """
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def _time(fn, *args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_one(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_one(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -153,14 +165,14 @@ def bench_pipeline_io(batch_size: int = 64, n_images: int = 512,
                               seed=0, num_workers=num_workers)
     # warm up one epoch segment to compile, then time a full sweep
     it = iter(loader)
-    jax.block_until_ready(next(it)[0]["img"])
+    _fetch_one(next(it)[0]["img"])
     t0 = time.perf_counter()
     n_batches = 0
     last = None
     for inputs, _, _ in it:
         last = inputs["img"]
         n_batches += 1
-    jax.block_until_ready(last)
+    _fetch_one(last)
     dt = time.perf_counter() - t0
     return 2 * n_batches * batch_size / dt  # crops/sec from files on disk
 

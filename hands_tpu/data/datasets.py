@@ -71,17 +71,22 @@ def _require(path: str, what: str) -> str:
     return path
 
 
-def _read_image(path: str, dummy_shape=(600, 840, 3)):
+def _read_image(path: str, dummy_shape=(600, 840, 3), scale_denom: int = 1):
     """Robust image read: zero image + False on failure
     (reference ``read_img``, data_utils.py:332 — corrupt files must not kill
     multi-day runs). Uses the native libjpeg/libpng decoder
     (``native/hands_host.cpp``) when built; cv2 otherwise.
+
+    ``scale_denom`` > 1 decodes JPEGs at reduced resolution (libjpeg scaled
+    iDCT); the cv2 fallback resizes after decode for the same geometry.
     """
     try:
         from hands_tpu.utils import native
 
         if native.available():
-            img = native.read_image(path)
+            img = native.read_image(path) if scale_denom == 1 else \
+                native.decode_image(open(path, "rb").read(),
+                                    scale_denom=scale_denom)
             if img is not None:
                 return img, True
             raise IOError(path)
@@ -90,9 +95,17 @@ def _read_image(path: str, dummy_shape=(600, 840, 3)):
         img = cv2.imread(path)
         if img is None:
             raise IOError(path)
-        return img[:, :, ::-1].copy(), True  # BGR -> RGB
+        img = img[:, :, ::-1]
+        if scale_denom > 1:
+            img = cv2.resize(
+                img, (-(-img.shape[1] // scale_denom),
+                      -(-img.shape[0] // scale_denom)),
+                interpolation=cv2.INTER_AREA)
+        return np.ascontiguousarray(img), True  # BGR -> RGB
     except Exception:
-        return np.zeros(dummy_shape, np.uint8), False
+        d = scale_denom
+        return np.zeros((-(-dummy_shape[0] // d), -(-dummy_shape[1] // d), 3),
+                        np.uint8), False
 
 
 def _wp_focal(cfg: Config, img_w: float, img_h: float) -> float:
@@ -410,15 +423,16 @@ class EPICDataset(RecordDataset):
 
     def _to_record(self, s: dict) -> Record:
         ann = s["ann"]
+        ds = max(1, int(self.cfg.decode_downscale))
         img, ok = _read_image(self._img_path(s["key"]),
-                              dummy_shape=(2800, 2000, 3))
+                              dummy_shape=(2800, 2000, 3), scale_denom=ds)
 
         def hand(side):
             d = ann.get(side)
             if d is None:
                 return (du.pad_jts2d(np.zeros((21, 2), np.float32)),
                         np.zeros(21, np.float32), 0.0)
-            kp = np.asarray(d["joints"], np.float32).reshape(21, 2)
+            kp = np.asarray(d["joints"], np.float32).reshape(21, 2) / ds
             jv = np.asarray(d["joints_valid"], np.float32).reshape(21)
             kp = kp[_ASSEMBLY_TO_MANO]
             jv = jv[_ASSEMBLY_TO_MANO]
@@ -430,14 +444,14 @@ class EPICDataset(RecordDataset):
 
         def det_bbox(key):
             bb = det.get(key)
-            return None if bb is None else np.asarray(bb, np.float32)
+            return None if bb is None else np.asarray(bb, np.float32) / ds
 
         return Record(
             imgname=s["key"], image=img,
             K=np.eye(3, dtype=np.float32),
             j2d_r=j2d_r, j2d_l=j2d_l,
             beta_r=MEAN_BETA_R, beta_l=MEAN_BETA_L,
-            bbox=_centered_bbox(self.IMG_W, self.IMG_H),
+            bbox=_centered_bbox(self.IMG_W / ds, self.IMG_H / ds),
             r_bbox=det_bbox("right_bbox"), l_bbox=det_bbox("left_bbox"),
             bbox_mode=1.0 if ("test" in self.split
                               and not self.cfg.use_gt_bbox) else 0.0,

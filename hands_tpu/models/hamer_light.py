@@ -117,7 +117,8 @@ class HamerNet(nn.Module):
 
         vit = ViTBackbone(
             variant=self.vit_variant, dtype=dtype,
-            use_checkpoint=train and self.vit_variant == "h", name="backbone",
+            use_checkpoint=train and self.vit_variant == "h",
+            fast_gelu=bool(cfg.get("fast_gelu", False)), name="backbone",
         )
         feat = vit(x, kpe_emb=kpe_emb, train=train)  # (2B, 16, 12, C)
         feat = feat.astype(jnp.float32)

@@ -45,6 +45,12 @@ def _lib() -> Optional[ctypes.CDLL]:
     lib.jpeg_decode_rgb.argtypes = [_u8p, ctypes.c_long, _u8p, ctypes.c_int,
                                     ctypes.c_int]
     lib.jpeg_decode_rgb.restype = ctypes.c_int
+    if hasattr(lib, "jpeg_decode_rgb_scaled"):
+        lib.jpeg_decode_rgb_scaled.argtypes = [
+            _u8p, ctypes.c_long, _u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, _i32p, _i32p,
+        ]
+        lib.jpeg_decode_rgb_scaled.restype = ctypes.c_int
     lib.png_probe.argtypes = [_u8p, ctypes.c_long, _i32p, _i32p]
     lib.png_probe.restype = ctypes.c_int
     lib.png_decode_rgb.argtypes = [_u8p, ctypes.c_long, _u8p, ctypes.c_int,
@@ -73,8 +79,13 @@ def _as_u8p(arr: np.ndarray):
     return arr.ctypes.data_as(_u8p)
 
 
-def decode_image(data: bytes) -> Optional[np.ndarray]:
-    """Decode JPEG or PNG bytes -> (H, W, 3) uint8 RGB. None on failure."""
+def decode_image(data: bytes, scale_denom: int = 1) -> Optional[np.ndarray]:
+    """Decode JPEG or PNG bytes -> (H, W, 3) uint8 RGB. None on failure.
+
+    ``scale_denom`` in {1, 2, 4, 8} decodes JPEGs at 1/denom resolution via
+    libjpeg's scaled iDCT (~denom^2 cheaper) — the right host-side knob when
+    the frame feeds a small on-device patch. PNGs ignore it.
+    """
     lib = _lib()
     if lib is None:
         return None
@@ -86,6 +97,19 @@ def decode_image(data: bytes) -> Optional[np.ndarray]:
         if lib.jpeg_probe(_as_u8p(buf), len(data), ctypes.byref(h),
                           ctypes.byref(w), ctypes.byref(c)):
             return None
+        if scale_denom > 1 and hasattr(lib, "jpeg_decode_rgb_scaled"):
+            cap_h = -(-h.value // scale_denom) + 8
+            cap_w = -(-w.value // scale_denom) + 8
+            out = np.empty((cap_h, cap_w, 3), np.uint8)
+            oh = ctypes.c_int()
+            ow = ctypes.c_int()
+            if lib.jpeg_decode_rgb_scaled(
+                    _as_u8p(buf), len(data), _as_u8p(out), scale_denom,
+                    cap_h, cap_w, ctypes.byref(oh), ctypes.byref(ow)):
+                return None
+            return np.ascontiguousarray(
+                out.reshape(-1)[: oh.value * ow.value * 3]
+                .reshape(oh.value, ow.value, 3))
         out = np.empty((h.value, w.value, 3), np.uint8)
         if lib.jpeg_decode_rgb(_as_u8p(buf), len(data), _as_u8p(out), h.value,
                                w.value):

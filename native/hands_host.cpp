@@ -87,6 +87,47 @@ int jpeg_decode_rgb(const uint8_t* buf, long len, uint8_t* out, int out_h,
   return 0;
 }
 
+// Decode a JPEG at reduced scale (libjpeg scale_num/scale_denom: the iDCT
+// itself runs on fewer coefficients, ~denom^2 cheaper — the right way to
+// feed a small on-device patch from large frames). denom in {1, 2, 4, 8}.
+// out must hold ceil(h/denom) * ceil(w/denom) * 3 bytes; the actual output
+// dims are written to out_h/out_w. Returns 0 on success.
+int jpeg_decode_rgb_scaled(const uint8_t* buf, long len, uint8_t* out,
+                           int denom, int cap_h, int cap_w, int* out_h,
+                           int* out_w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
+  jpeg_start_decompress(&cinfo);
+  const int oh = (int)cinfo.output_height;
+  const int ow = (int)cinfo.output_width;
+  if (oh > cap_h || ow > cap_w) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *out_h = oh;
+  *out_w = ow;
+  const int stride = ow * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + (size_t)cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // ----------------------------------------------------------------- png
 int png_decode_rgb(const uint8_t* buf, long len, uint8_t* out, int out_h,
                    int out_w) {

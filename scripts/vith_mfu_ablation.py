@@ -14,7 +14,11 @@ Run: python scripts/vith_mfu_ablation.py [--batch 256] [--variant h]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +35,7 @@ from hands_tpu.models.backbones.vit import VIT_CONFIGS  # noqa: E402
 class AblAttention(nn.Module):
     num_heads: int
     softmax_f32: bool = True
+    mode: str = "full"  # full | no_softmax | no_attn (out = v)
     dtype = jnp.bfloat16
 
     @nn.compact
@@ -41,13 +46,18 @@ class AblAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = head_dim**-0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        if self.softmax_f32:
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
-                x.dtype)
+        if self.mode == "no_attn":
+            out = v.reshape(B, N, C)
         else:
-            attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            if self.mode == "no_softmax":
+                attn = attn * (1.0 / N)
+            elif self.softmax_f32:
+                attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                      axis=-1).astype(x.dtype)
+            else:
+                attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -56,13 +66,15 @@ class AblBlock(nn.Module):
     mlp_ratio: float
     softmax_f32: bool = True
     ln_f32: bool = True
+    attn_mode: str = "full"
 
     @nn.compact
     def __call__(self, x, _):
         C = x.shape[-1]
         ln_dt = jnp.float32 if self.ln_f32 else jnp.bfloat16
         y = nn.LayerNorm(dtype=ln_dt, name="norm1")(x)
-        x = x + AblAttention(self.num_heads, self.softmax_f32, name="attn")(y)
+        x = x + AblAttention(self.num_heads, self.softmax_f32,
+                             self.attn_mode, name="attn")(y)
         y = nn.LayerNorm(dtype=ln_dt, name="norm2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=jnp.bfloat16)(y)
         h = nn.gelu(h, approximate=False)
@@ -74,6 +86,7 @@ class AblViT(nn.Module):
     variant: str = "h"
     softmax_f32: bool = True
     ln_f32: bool = True
+    attn_mode: str = "full"
 
     @nn.compact
     def __call__(self, x):
@@ -91,7 +104,8 @@ class AblViT(nn.Module):
                           split_rngs={"params": True},
                           length=cfg["depth"])
         x, _ = scanned(cfg["num_heads"], cfg["mlp_ratio"],
-                       self.softmax_f32, self.ln_f32, name="blocks")(x, None)
+                       self.softmax_f32, self.ln_f32, self.attn_mode,
+                       name="blocks")(x, None)
         x = nn.LayerNorm(dtype=jnp.float32, name="last_norm")(x)
         return x.reshape(B, hp, wp, C)
 
@@ -101,12 +115,13 @@ def bench_one(name, model, B, iters=10):
                     jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     fwd = jax.jit(lambda p, x: model.apply(p, x))
-    out = fwd(params, x)
-    jax.block_until_ready(out)
+    # block_until_ready is a no-op through the axon tunnel: force a scalar
+    # fetch of the last output as the timing barrier (in-order device queue)
+    float(jnp.ravel(fwd(params, x))[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, x)
-    jax.block_until_ready(out)
+    float(jnp.ravel(out)[0])
     dt = (time.perf_counter() - t0) / iters
     cps = B / dt
     print(f"{name:18s} {dt*1e3:8.1f} ms  {cps:8.1f} crops/s "
@@ -122,9 +137,9 @@ def main():
     print("devices:", jax.devices(), flush=True)
     B, v = args.batch, args.variant
     bench_one("stock(f32 sm+ln)", AblViT(v, True, True), B)
-    bench_one("softmax_bf16", AblViT(v, False, True), B)
-    bench_one("ln_bf16", AblViT(v, True, False), B)
-    bench_one("both_bf16", AblViT(v, False, False), B)
+    bench_one("no_softmax", AblViT(v, True, True, "no_softmax"), B)
+    bench_one("no_attn(out=v)", AblViT(v, True, True, "no_attn"), B)
+    bench_one("stock_bs512", AblViT(v, True, True), 2 * B, iters=5)
 
 
 if __name__ == "__main__":

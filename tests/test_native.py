@@ -81,3 +81,54 @@ def test_dataset_read_image_uses_native(tmp_path):
     # missing file -> zero image, ok=False
     out2, ok2 = _read_image(str(tmp_path / "missing.jpg"))
     assert not ok2 and out2.sum() == 0
+
+
+def test_jpeg_decode_at_scale():
+    """libjpeg scale_denom decode: 1/d dims, content matches an area resize
+    of the full decode on smooth images (native decode-at-scale knob for
+    frames that only feed a small on-device patch)."""
+    cv2 = pytest.importorskip("cv2")
+    if not native.available():
+        pytest.skip("native lib not built")
+    yy, xx = np.mgrid[0:240, 0:320]
+    img = np.stack([(xx / 4) % 255, (yy / 3) % 255, ((xx + yy) / 5) % 255],
+                   -1).astype(np.uint8)
+    img = cv2.GaussianBlur(img, (0, 0), 2)
+    ok, enc = cv2.imencode(".jpg", img, [int(cv2.IMWRITE_JPEG_QUALITY), 95])
+    assert ok
+    data = enc.tobytes()
+    full = native.decode_image(data)
+    for d in (2, 4):
+        small = native.decode_image(data, scale_denom=d)
+        assert small.shape == (-(-240 // d), -(-320 // d), 3)
+        ref = cv2.resize(full, (small.shape[1], small.shape[0]),
+                         interpolation=cv2.INTER_AREA)
+        assert np.abs(ref.astype(float) - small.astype(float)).mean() < 3.0
+
+
+def test_epic_decode_downscale_geometry(tmp_path, monkeypatch):
+    """decode_downscale scales image AND label geometry together: the
+    normalised patch-space keypoints must match the full-res decode."""
+    cv2 = pytest.importorskip("cv2")
+    import jax
+    from hands_tpu.config import default_config
+    from tests.test_real_layout_fixtures import _build_epic_tree
+    from hands_tpu.data import datasets as D
+    from hands_tpu.data.device_pipeline import DeviceDataLoader
+
+    monkeypatch.setenv("DATA_DIR", str(tmp_path))
+    _build_epic_tree(str(tmp_path))
+
+    outs = {}
+    for d in (1, 2):
+        cfg = default_config("hands_light", use_render_seg_loss=False,
+                             use_grasp_loss=False,
+                             decode_downscale=d)
+        ds = D.EPICDataset(cfg, "val")
+        rec = ds[0]
+        assert rec.image.shape[0] == -(-96 // d)
+        dl = DeviceDataLoader(ds, cfg, batch_size=2, is_train=False, seed=0,
+                              drop_last=False)
+        _, targets, _ = next(iter(dl))
+        outs[d] = np.asarray(targets["mano.j2d.norm.r"])
+    np.testing.assert_allclose(outs[1][..., :2], outs[2][..., :2], atol=0.02)
