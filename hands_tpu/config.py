@@ -105,6 +105,10 @@ class Config:
     # tanh-approx GELU in the ViT backbone: ~11% faster ViT-H on-chip, ~1e-3
     # activation deviation vs the reference's exact erf GELU
     fast_gelu: bool = False
+    # W8A8 dynamic-int8 ViT block matmuls at inference (~8% on-chip; the
+    # dynamic activation quantisation traffic eats most of the MXU int8
+    # gain — see BENCH_NOTES.md); ~1% relative output deviation
+    quant_int8: bool = False
     compute_dtype: str = "bfloat16"  # backbone matmul dtype
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)

@@ -32,6 +32,46 @@ VIT_CONFIGS = {
 }
 
 
+class Int8Dense(nn.Module):
+    """Drop-in Dense with W8A8 dynamic quantisation for inference.
+
+    Weights: symmetric per-output-channel int8; activations: symmetric
+    per-tensor dynamic int8. The int8 x int8 -> int32 dot rides the MXU's
+    int8 path (2x the bf16 peak on v5e). Param names/shapes match nn.Dense
+    ("kernel"/"bias"), so fp checkpoints (incl. cli/convert_ckpt output)
+    load unchanged; quantisation happens on the fly (cheap next to the
+    matmul, and scan-friendly). Inference-only: do not train through it.
+    """
+
+    features: int
+    dtype: Any = jnp.float32  # output dtype (the block compute dtype)
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_f, self.features),
+            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        w_scale = jnp.max(jnp.abs(kernel), axis=0) / 127.0 + 1e-12
+        w_q = jnp.round(kernel / w_scale).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        x_scale = jnp.max(jnp.abs(xf)) / 127.0 + 1e-12
+        x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (x_scale * w_scale)
+                + bias).astype(self.dtype)
+
+
+def _dense(features, dtype, quant_int8: bool, name=None):
+    if quant_int8:
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
+
+
 class MlpBlock(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -41,30 +81,34 @@ class MlpBlock(nn.Module):
     # differ from the reference's exact GELU by ~1e-3 — keep False when
     # checkpoint-level parity matters
     fast_gelu: bool = False
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        x = _dense(self.hidden_dim, self.dtype, self.quant_int8,
+                   name="Dense_0")(x)
         x = nn.gelu(x, approximate=self.fast_gelu)
-        return nn.Dense(self.out_dim, dtype=self.dtype)(x)
+        return _dense(self.out_dim, self.dtype, self.quant_int8,
+                      name="Dense_1")(x)
 
 
 class Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = _dense(3 * C, self.dtype, self.quant_int8, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
         scale = head_dim**-0.5
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return _dense(C, self.dtype, self.quant_int8, name="proj")(out)
 
 
 class Block(nn.Module):
@@ -72,15 +116,18 @@ class Block(nn.Module):
     mlp_ratio: float
     dtype: Any = jnp.float32
     fast_gelu: bool = False
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        x = x + Attention(self.num_heads, dtype=self.dtype,
+                          quant_int8=self.quant_int8, name="attn")(y)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + MlpBlock(int(C * self.mlp_ratio), C, dtype=self.dtype,
-                         fast_gelu=self.fast_gelu, name="mlp")(y)
+                         fast_gelu=self.fast_gelu,
+                         quant_int8=self.quant_int8, name="mlp")(y)
         return x
 
 
@@ -91,11 +138,13 @@ class ScanBlock(nn.Module):
     mlp_ratio: float
     dtype: Any = jnp.float32
     fast_gelu: bool = False
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         return Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
-                     fast_gelu=self.fast_gelu, name="block")(x), None
+                     fast_gelu=self.fast_gelu, quant_int8=self.quant_int8,
+                     name="block")(x), None
 
 
 class ViTBackbone(nn.Module):
@@ -112,6 +161,9 @@ class ViTBackbone(nn.Module):
     use_checkpoint: bool = False
     use_scan: bool = True
     fast_gelu: bool = False
+    # W8A8 int8 inference for the block matmuls (MXU int8 path, 2x bf16
+    # peak); inference-only
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, kpe_emb: Optional[jnp.ndarray] = None,
@@ -155,12 +207,14 @@ class ViTBackbone(nn.Module):
             )
             x, _ = scanned(cfg["num_heads"], cfg["mlp_ratio"],
                            dtype=self.dtype, fast_gelu=self.fast_gelu,
+                           quant_int8=self.quant_int8,
                            name="blocks")(x, None)
         else:
             block = nn.checkpoint(Block) if self.use_checkpoint else Block
             for i in range(cfg["depth"]):
                 x = block(cfg["num_heads"], cfg["mlp_ratio"], dtype=self.dtype,
-                          fast_gelu=self.fast_gelu, name=f"block{i}")(x)
+                          fast_gelu=self.fast_gelu,
+                          quant_int8=self.quant_int8, name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="last_norm")(x)
         return x.reshape(B, hp, wp, C)
 

@@ -118,7 +118,9 @@ class HamerNet(nn.Module):
         vit = ViTBackbone(
             variant=self.vit_variant, dtype=dtype,
             use_checkpoint=train and self.vit_variant == "h",
-            fast_gelu=bool(cfg.get("fast_gelu", False)), name="backbone",
+            fast_gelu=bool(cfg.get("fast_gelu", False)),
+            quant_int8=bool(cfg.get("quant_int8", False)) and not train,
+            name="backbone",
         )
         feat = vit(x, kpe_emb=kpe_emb, train=train)  # (2B, 16, 12, C)
         feat = feat.astype(jnp.float32)

@@ -24,3 +24,17 @@ def fetch_model(cfg: Config):
 
         return HandOccNetLightModel(cfg)
     raise KeyError(f"unknown method '{method}'")
+
+
+def inference_pose(model, variables, inputs, meta_info):
+    """Single-batch demo inference (reference ``wrapper.inference_pose``,
+    src/models/generic/wrapper.py:68-76): run the bound model and return the
+    merged ``{inputs.*, pred.*, meta_info.*}`` XDict."""
+    from hands_tpu.core.xdict import XDict
+
+    pred = model(variables, inputs, meta_info, train=False)
+    out = XDict()
+    out.merge(XDict(inputs).prefix("inputs."))
+    out.merge(XDict(pred).prefix("pred."))
+    out.merge(XDict(meta_info).prefix("meta_info."))
+    return out

@@ -66,3 +66,24 @@ def test_registry_unknown_method():
 
     with pytest.raises(KeyError):
         fetch_model(default_config("hands_light").replace(method="nope"))
+
+
+def test_vit_int8_and_fast_gelu_knobs():
+    """quant_int8 / fast_gelu: same param tree as the fp path (checkpoints
+    load unchanged), small bounded output deviation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hands_tpu.models.backbones.vit import ViTBackbone
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 48, 3), jnp.float32)
+    fp = ViTBackbone(variant="tiny")
+    params = fp.init(jax.random.PRNGKey(0), x)
+    o_fp = np.asarray(fp.apply(params, x))
+    for knob in (dict(quant_int8=True), dict(fast_gelu=True)):
+        m = ViTBackbone(variant="tiny", **knob)
+        # identical param structure: the fp tree applies directly
+        o = np.asarray(m.apply(params, x))
+        rel = np.abs(o - o_fp).mean() / (np.abs(o_fp).mean() + 1e-9)
+        assert 0 < rel < 0.05, (knob, rel)

@@ -126,3 +126,27 @@ def test_handoccnet_dense_latent_kpe():
     variables = model.init(jax.random.PRNGKey(0), inputs, meta)
     pred = model(variables, inputs, meta, train=False)
     assert np.isfinite(np.asarray(pred["mano.j2d.norm.l"])).all()
+
+
+def test_inference_pose_demo_path():
+    """Reference wrapper.inference_pose parity: merged inputs./pred./meta_info.
+    namespaces (generic/wrapper.py:68-76)."""
+    import jax
+
+    from hands_tpu.config import default_config
+    from hands_tpu.data.synthetic import make_batch
+    from hands_tpu.models.hands_light import HandsLightModel
+    from hands_tpu.models.registry import inference_pose
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        use_glb_feat=False, use_grasp_loss=False, use_render_seg_loss=False,
+    )
+    inputs, targets, meta = make_batch(cfg, 1, seed=0)
+    model = HandsLightModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), inputs, meta)
+    out = inference_pose(model, variables, inputs, meta)
+    assert "inputs.img" in out
+    assert "pred.mano.j3d.cam.r" in out or any(
+        k.startswith("pred.mano") for k in out)
+    assert "meta_info.intrinsics" in out
