@@ -526,3 +526,42 @@ def test_downsample_applies_to_real_layouts(tmp_path, monkeypatch):
     full = D.EPICDataset(cfg, "val")
     mini = D.EPICDataset(cfg, "minival")
     assert len(mini) == min(80, len(full)) == 3
+
+
+def test_arctic_exo_view_intrinsics_and_speedup(tmp_path, monkeypatch):
+    """Exo views (view_idx >= 1): K from misc intris_mat[view-1], no egocam
+    overrides, NaN dist, and the static-cam speedup remap
+    (transform_kp2d_to_crop: labels into the fixed 1000px crop frame)."""
+    monkeypatch.setenv("DATA_DIR", str(tmp_path))
+    K_ego, full_w, full_h = _build_arctic_tree(str(tmp_path))
+    base = os.path.join(str(tmp_path), "arctic/data/arctic_data/data")
+    # extend the split with an exo-view imgname (view 2) + its crop image
+    p = os.path.join(base, "splits/p2_val.npy")
+    data = np.load(p, allow_pickle=True).item()
+    exo_name = "./arctic_data/data/images/s01/box_grab_01/2/00010.jpg"
+    data["imgnames"] = [exo_name]
+    np.save(p, data, allow_pickle=True)
+    _write_jpg(os.path.join(
+        base, "cropped_images/s01/box_grab_01/2/00010.jpg"),
+        _img(3, 1000, 1000))
+
+    from hands_tpu.data import dataset_utils as du
+
+    cfg = default_config("hands_light", use_render_seg_loss=False,
+                         use_grasp_loss=False)
+    ds = D.HandsLightDataset(cfg, "val")
+    rec = ds[0]
+    assert rec.is_egocam == 0.0
+    assert rec.use_gt_k is None  # exo follows cfg.use_gt_k
+    assert np.isnan(rec.dist).all()  # dist is egocam-only
+    # K selected from intris_mat[view-1] (not K_ego, not scaled)
+    np.testing.assert_allclose(rec.K, K_ego, rtol=1e-6)
+    # static-cam speedup: bbox pinned to the 1000px crop frame
+    np.testing.assert_allclose(rec.bbox, [500.0, 500.0, 1000.0 / 300.0])
+    # and the 2D labels remapped by transform_kp2d_to_crop of the raw kps
+    raw = np.asarray(
+        data["data_dict"]["s01/box_grab_01"]["2d"]["joints.right"][0, 2])
+    expect = du.transform_kp2d_to_crop(
+        du.pad_jts2d(raw),
+        np.asarray([full_w / 2, full_h / 2, max(full_w, full_h) / 200.0]))
+    np.testing.assert_allclose(rec.j2d_r[:, :2], expect[:, :2], rtol=1e-5)
