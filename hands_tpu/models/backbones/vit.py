@@ -96,6 +96,7 @@ class Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     quant_int8: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -105,9 +106,16 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
         scale = head_dim**-0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        if self.fused_attn:
+            # one VMEM-resident Pallas kernel: no (B, H, N, N) HBM tensor
+            from hands_tpu.ops.attention_pallas import mha_fused
+
+            out = mha_fused(q, k, v, scale).reshape(B, N, C)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         return _dense(C, self.dtype, self.quant_int8, name="proj")(out)
 
 
@@ -117,13 +125,15 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
     fast_gelu: bool = False
     quant_int8: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(self.num_heads, dtype=self.dtype,
-                          quant_int8=self.quant_int8, name="attn")(y)
+                          quant_int8=self.quant_int8,
+                          fused_attn=self.fused_attn, name="attn")(y)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + MlpBlock(int(C * self.mlp_ratio), C, dtype=self.dtype,
                          fast_gelu=self.fast_gelu,
@@ -139,12 +149,13 @@ class ScanBlock(nn.Module):
     dtype: Any = jnp.float32
     fast_gelu: bool = False
     quant_int8: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         return Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
                      fast_gelu=self.fast_gelu, quant_int8=self.quant_int8,
-                     name="block")(x), None
+                     fused_attn=self.fused_attn, name="block")(x), None
 
 
 class ViTBackbone(nn.Module):
@@ -164,6 +175,9 @@ class ViTBackbone(nn.Module):
     # W8A8 int8 inference for the block matmuls (MXU int8 path, 2x bf16
     # peak); inference-only
     quant_int8: bool = False
+    # Pallas VMEM-resident attention (no materialised (B,H,N,N) tensor);
+    # inference-only (no custom VJP)
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, kpe_emb: Optional[jnp.ndarray] = None,
@@ -208,13 +222,15 @@ class ViTBackbone(nn.Module):
             x, _ = scanned(cfg["num_heads"], cfg["mlp_ratio"],
                            dtype=self.dtype, fast_gelu=self.fast_gelu,
                            quant_int8=self.quant_int8,
+                           fused_attn=self.fused_attn,
                            name="blocks")(x, None)
         else:
             block = nn.checkpoint(Block) if self.use_checkpoint else Block
             for i in range(cfg["depth"]):
                 x = block(cfg["num_heads"], cfg["mlp_ratio"], dtype=self.dtype,
                           fast_gelu=self.fast_gelu,
-                          quant_int8=self.quant_int8, name=f"block{i}")(x)
+                          quant_int8=self.quant_int8,
+                          fused_attn=self.fused_attn, name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="last_norm")(x)
         return x.reshape(B, hp, wp, C)
 
