@@ -415,6 +415,11 @@ class PrefetchLoader:
     def __len__(self):
         return len(self.loader)
 
+    def __getattr__(self, name):
+        # delegate peek()/set_epoch()/... to the wrapped loader (Trainer
+        # drives those on the production num_workers>0 path)
+        return getattr(self.loader, name)
+
     def __iter__(self):
         import queue
         import threading

@@ -124,3 +124,32 @@ def test_mid_epoch_checkpointing(loaders, tmp_path, monkeypatch):
     # interrupt-free single epoch still writes 'last' during the epoch
     trainer.fit(train_loader, None, num_epochs=1)
     assert trainer.ckpt.has_checkpoint("last")
+
+
+def test_prefetch_loader_delegates_trainer_interface():
+    """The production path (num_workers>0) wraps the loader in
+    PrefetchLoader; Trainer.fit drives peek()/set_epoch() on it."""
+    from hands_tpu.config import default_config
+    from hands_tpu.data.factory import fetch_dataloader
+    from hands_tpu.data.device_pipeline import PrefetchLoader
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        use_glb_feat=False, use_grasp_loss=False, use_render_seg_loss=False,
+        dataset="synthetic", trainsplit="tinytrain", batch_size=2,
+        num_workers=2,
+    )
+    loader = fetch_dataloader(cfg, "train")
+    assert isinstance(loader, PrefetchLoader)
+    first = loader.peek()  # must not consume the first epoch's batch
+    loader.set_epoch(0)
+    n = 0
+    for batch in loader:
+        if n == 0:
+            # peek returned the same first batch the epoch then yields
+            import numpy as np
+
+            np.testing.assert_allclose(
+                np.asarray(batch[0]["img"]), np.asarray(first[0]["img"]))
+        n += 1
+    assert n == len(loader)
