@@ -54,6 +54,9 @@ class Config:
 
     # --- data
     dataset: str = "hands+assembly+epic_grasp+epic_seg"
+    # GT VISOR masks instead of predicted ones for the seg datasets
+    # (reference epic_seg_dataset.py:44-48, args.get('use_gt_hand_mask'))
+    use_gt_hand_mask: bool = False
     val_dataset: str = "epic"
     setup: str = "p2"
     trainsplit: str = "train"
@@ -92,6 +95,8 @@ class Config:
 
     # --- checkpoints
     load_ckpt: str = ""
+    # orbax dir from cli/convert_ckpt: pretrained backbone warm start
+    load_backbone: str = ""
     resume_ckpt: str = ""
     infer_ckpt: str = ""
     load_from: str = ""
@@ -199,6 +204,7 @@ def construct_args(argv=None) -> Config:
     p.add_argument("--exp_key", type=str, default="")
     p.add_argument("--extraction_mode", type=str, default="")
     p.add_argument("--load_ckpt", type=str, default="")
+    p.add_argument("--load_backbone", type=str, default="")
     p.add_argument("--resume_ckpt", type=str, default="")
     p.add_argument("--infer_ckpt", type=str, default="")
     p.add_argument("--load_from", type=str, default="")

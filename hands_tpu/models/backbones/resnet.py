@@ -107,12 +107,14 @@ class ResNet(nn.Module):
         return x  # spatial map; callers pool/flatten as needed
 
 
-def resnet18(dtype=jnp.float32) -> ResNet:
-    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, dtype=dtype)
+def resnet18(dtype=jnp.float32, name=None) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, dtype=dtype,
+                  name=name)
 
 
-def resnet50(dtype=jnp.float32) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype)
+def resnet50(dtype=jnp.float32, name=None) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype,
+                  name=name)
 
 
 BACKBONE_INFO = {

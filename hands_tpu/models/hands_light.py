@@ -113,15 +113,15 @@ class RegressionHead(nn.Module):
         return nn.Dense(self.out_dim)(x)
 
 
-def _build_backbone(name: str, dtype):
+def _build_backbone(name: str, dtype, scope: str = None):
     if name == "resnet50":
-        return resnet50(dtype=dtype)
+        return resnet50(dtype=dtype, name=scope)
     if name == "resnet18":
-        return resnet18(dtype=dtype)
+        return resnet18(dtype=dtype, name=scope)
     if name == "vit_b_16":
         from hands_tpu.models.backbones.vit import VitB16Spatial
 
-        return VitB16Spatial(dtype=dtype)
+        return VitB16Spatial(dtype=dtype, name=scope)
     raise ValueError(f"unsupported backbone '{name}'")
 
 
@@ -143,7 +143,8 @@ class HandsLightNet(nn.Module):
         # ---- global image branch
         glb_feat_map = None
         if cfg.use_glb_feat or cfg.no_crops:
-            backbone = _build_backbone(cfg.backbone, dtype)
+            backbone = _build_backbone(cfg.backbone, dtype,
+                                       scope="glb_backbone")
             glb_feat_map = backbone(inputs["img"].astype(dtype), train=train)
             glb_feat_map = glb_feat_map.astype(jnp.float32)
             out["feat_vec"] = glb_feat_map.reshape(
@@ -198,12 +199,13 @@ class HandsLightNet(nn.Module):
         # one pass over stacked crops (shared backbone — cfg.separate_hands
         # instantiates two)
         if self.cfg.separate_hands:
-            bb_r = _build_backbone(cfg.backbone, dtype)
-            bb_l = _build_backbone(cfg.backbone, dtype)
+            bb_r = _build_backbone(cfg.backbone, dtype, scope="backbone_r")
+            bb_l = _build_backbone(cfg.backbone, dtype, scope="backbone_l")
             r_feat = bb_r(r_inp, train=train).astype(jnp.float32)
             l_feat = bb_l(l_inp, train=train).astype(jnp.float32)
         else:
-            hand_backbone = _build_backbone(cfg.backbone, dtype)
+            hand_backbone = _build_backbone(cfg.backbone, dtype,
+                                            scope="hand_backbone")
             rl = hand_backbone(jnp.concatenate([r_inp, l_inp], axis=0), train=train)
             rl = rl.astype(jnp.float32)
             r_feat, l_feat = rl[:B], rl[B:]

@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -97,3 +98,62 @@ class CheckpointManager:
 
     def has_checkpoint(self, name: str = "last") -> bool:
         return os.path.exists(os.path.join(self.ckpt_dir, name))
+
+
+def _leaf_paths(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _leaf_paths(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+def graft_backbone_variables(variables: dict, tree: dict) -> dict:
+    """Warm-start converted backbone weights (``cli/convert_ckpt`` output)
+    into a model's variables — the reference's
+    ``self.backbone.load_state_dict`` path (hamer_light/model.py:34-44,
+    resnet.py:294 ``pretrained=True``).
+
+    The converted tree is scope-less ({"params": {...}, "batch_stats"?});
+    every top-level scope of ``variables["params"]`` whose subtree contains
+    the converted keys with identical leaf shapes receives the graft (so one
+    ResNet checkpoint fills both ``hand_backbone`` and ``glb_backbone``, and
+    a ViT one lands in HaMeR's ``backbone``). Raises if nothing matched.
+    """
+    import copy
+
+    out = copy.deepcopy({k: dict(v) for k, v in variables.items()})
+    grafted = []
+    for col in ("params", "batch_stats"):
+        src = tree.get(col)
+        if not src:
+            continue
+        for scope, sub in out.get(col, {}).items():
+            if not isinstance(sub, dict):
+                continue
+            ok = True
+            for path, leaf in _leaf_paths(src):
+                node = sub
+                for k in path:
+                    if not isinstance(node, dict) or k not in node:
+                        ok = False
+                        break
+                    node = node[k]
+                if not ok or getattr(node, "shape", None) != np.shape(leaf):
+                    ok = False
+                    break
+            if not ok:
+                continue
+            new_sub = copy.deepcopy(sub)
+            for path, leaf in _leaf_paths(src):
+                node = new_sub
+                for k in path[:-1]:
+                    node = node[k]
+                node[path[-1]] = jnp.asarray(leaf)
+            out[col][scope] = new_sub
+            grafted.append(f"{col}/{scope}")
+    if not any(g.startswith("params/") for g in grafted):
+        raise ValueError(
+            "backbone graft found no matching scope (shapes/structure "
+            "mismatch) — check --load_backbone arch vs model backbone")
+    return out

@@ -49,6 +49,15 @@ class Trainer:
         inputs, _, meta = first
         meta_dev = device_view(meta)
         variables = self.model.init(jax.random.PRNGKey(cfg.seed), inputs, meta_dev)
+        if cfg.get("load_backbone", ""):
+            # pretrained backbone warm start from a cli/convert_ckpt orbax
+            # dir (the reference's load_state_dict path, hamer model.py:34-44)
+            from hands_tpu.cli.convert_ckpt import load_orbax
+            from hands_tpu.train.checkpoint import graft_backbone_variables
+
+            variables = graft_backbone_variables(
+                variables, load_orbax(cfg.load_backbone))
+            print(f"grafted pretrained backbone from {cfg.load_backbone}")
         state = create_train_state(cfg, variables, steps_per_epoch=len(train_loader))
 
         start_epoch = 0

@@ -186,3 +186,50 @@ def test_convert_ckpt_vit_grid_resize(tmp_path):
     x = jnp.zeros((1, 96, 64, 3))
     out = ViTBackbone(variant="tiny").apply(converted, x, train=False)
     assert out.shape == (1, 6, 4, 128)
+
+
+def test_graft_backbone_into_models(tmp_path):
+    """convert_ckpt output warm-starts real models: a reference torch
+    resnet18 lands in BOTH WildHands backbones (hand + glb), a reference ViT
+    in HaMeR's; grafted leaves match the conversion exactly and the model
+    forward runs."""
+    import numpy as np
+
+    from hands_tpu.cli import convert_ckpt
+    from hands_tpu.config import default_config
+    from hands_tpu.data.synthetic import make_batch
+    from hands_tpu.train.checkpoint import graft_backbone_variables
+
+    ref_resnet = ref_compat.load("src.nets.backbone.resnet")
+    torch.manual_seed(4)
+    tm = ref_resnet.resnet18(pretrained=False)
+    src = tmp_path / "r18.pth"
+    torch.save(tm.state_dict(), src)
+    out = tmp_path / "r18_orbax"
+    convert_ckpt.main(["--src", str(src), "--arch", "resnet18",
+                       "--out", str(out)])
+    tree = convert_ckpt.load_orbax(str(out))
+
+    from hands_tpu.models.hands_light import HandsLightModel
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        use_glb_feat=True, use_grasp_loss=False, use_render_seg_loss=False,
+    )
+    inputs, targets, meta = make_batch(cfg, 1, seed=0)
+    model = HandsLightModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), inputs, meta)
+    grafted = graft_backbone_variables(variables, tree)
+    for scope in ("hand_backbone", "glb_backbone"):
+        np.testing.assert_array_equal(
+            np.asarray(grafted["params"][scope]["conv_stem"]["kernel"]),
+            np.asarray(tree["params"]["conv_stem"]["kernel"]), scope)
+    pred = model(grafted, inputs, meta, train=False)
+    assert np.isfinite(np.asarray(pred["mano.j3d.cam.r"])).all()
+
+    # mismatched arch must refuse loudly
+    cfg50 = cfg.replace(backbone="resnet50")
+    m50 = HandsLightModel(cfg50)
+    v50 = m50.init(jax.random.PRNGKey(0), inputs, meta)
+    with pytest.raises(ValueError):
+        graft_backbone_variables(v50, tree)
