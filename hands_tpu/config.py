@@ -58,7 +58,7 @@ class Config:
     # (reference epic_seg_dataset.py:44-48, args.get('use_gt_hand_mask'))
     use_gt_hand_mask: bool = False
     val_dataset: str = "epic"
-    setup: str = "p2"
+    setup: str = "p2a"  # reference generic.py:33 default (ARCTIC ego split)
     trainsplit: str = "train"
     valsplit: str = "minival"
     window_size: int = 11
@@ -86,6 +86,12 @@ class Config:
     num_exp: int = 1
     exp_key: str = ""
     extraction_mode: str = ""
+    # extraction/eval companions (reference generic.py): dataset override
+    # for evaluation, feature-split consumption knobs
+    eval_on: str = ""
+    run_on: str = ""
+    temp_loader: bool = False
+    img_feat_version: str = ""
     mute: bool = False
     no_vis: bool = False
     cluster: bool = False
@@ -129,51 +135,73 @@ class Config:
 # ------------------------------------------------------------- method configs
 # Defaults per method, mirroring src/parsers/configs/{hands,arctic,hamer,
 # handoccnet}_light.py.
+# reference-exact per-method defaults (src/parsers/configs/*.py). The
+# reference batch sizes are kept for parity; the TPU bs sweep (round-1:
+# bs64 optimal for WildHands throughput) is one --batch_size flag away.
 _METHOD_DEFAULTS = {
-    "hands_light": dict(
+    "hands_light": dict(  # configs/hands_light.py
         backbone="resnet50",
         pos_enc="center+corner_latent",
         n_freq_pos_enc=4,
         img_res=224,
         dataset="hands+assembly+epic_grasp+epic_seg",
         val_dataset="epic",
+        batch_size=32,
+        test_batch_size=32,
+        num_workers=8,
         use_glb_feat=True,
+        use_glb_feat_w_grasp=True,
         use_grasp_loss=True,
         use_render_seg_loss=True,
         use_depth_loss=False,
+        eval_every_epoch=1,
         no_intrx=False,
     ),
-    "arctic_sf_light": dict(
+    "arctic_sf_light": dict(  # configs/arctic_light.py: full-image inputs
         backbone="resnet50",
         pos_enc=None,
         img_res=224,
-        dataset="arctic",
-        val_dataset="arctic",
-        use_glb_feat=False,
-        use_grasp_loss=False,
-        use_render_seg_loss=False,
+        dataset="hands+assembly+epic_grasp+epic_seg",
+        val_dataset="epic",
+        batch_size=32,
+        test_batch_size=32,
+        num_workers=8,
+        no_crops=True,
+        use_glb_feat=True,
+        use_grasp_loss=True,
+        use_render_seg_loss=True,
+        eval_every_epoch=1,
     ),
-    "hamer_light": dict(
+    "hamer_light": dict(  # configs/hamer_light.py
         backbone="vit_h",
         pos_enc="center+corner_latent",
         n_freq_pos_enc=4,
         img_res=224,
-        dataset="hands",
+        dataset="hands+assembly+epic_grasp+epic_seg",
         val_dataset="epic",
-        use_glb_feat=False,
-        use_grasp_loss=False,
-        use_render_seg_loss=False,
+        batch_size=16,
+        test_batch_size=16,
+        num_workers=8,
+        bbox_scale=2.5,
+        use_glb_feat=True,
+        use_grasp_loss=True,
+        use_render_seg_loss=True,
+        eval_every_epoch=1,
     ),
-    "handoccnet_light": dict(
+    "handoccnet_light": dict(  # configs/handoccnet_light.py
         backbone="fpn",
         pos_enc="center+corner_latent",
         n_freq_pos_enc=4,
         img_res=224,
-        dataset="assembly",
-        val_dataset="assembly",
-        use_glb_feat=False,
-        use_grasp_loss=False,
-        use_render_seg_loss=False,
+        dataset="hands+assembly+epic_grasp+epic_seg",
+        val_dataset="epic",
+        batch_size=32,
+        test_batch_size=32,
+        num_workers=8,
+        use_glb_feat=True,
+        use_grasp_loss=True,
+        use_render_seg_loss=True,
+        eval_every_epoch=1,
     ),
 }
 
@@ -212,7 +240,7 @@ def construct_args(argv=None) -> Config:
                    choices=["train", "smalltrain", "minitrain", "tinytrain"])
     p.add_argument("--valsplit", type=str, default="minival",
                    choices=["val", "smallval", "minival", "tinyval"])
-    p.add_argument("--setup", type=str, default="p2")
+    p.add_argument("--setup", type=str, default="p2a")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--eval_every_epoch", type=int, default=5)
     p.add_argument("--lr_dec_epoch", type=int, nargs="+", default=[])

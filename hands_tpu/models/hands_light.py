@@ -157,6 +157,8 @@ class HandsLightNet(nn.Module):
             pooled = glb_feat_map.mean(axis=(1, 2))
             out["hmr_r"] = head_r(pooled, train=train)
             out["hmr_l"] = head_l(pooled, train=train)
+            if cfg.use_grasp_loss:
+                self._grasp_heads(cfg, out, pooled.shape[0])
             return out
 
         # ---- crop branch: encode KPE, stack R/L into one batch
@@ -271,16 +273,7 @@ class HandsLightNet(nn.Module):
         out["hmr_l"] = head_l(l_vec, train=train)
 
         if cfg.use_grasp_loss:
-            grasp = GraspClassifier(name="grasp_classifier")
-
-            def grasp_in(h):
-                x = [h["shape"], h["pose"].reshape(B, -1)]
-                if cfg.use_glb_feat_w_grasp:
-                    x.append(out["feat_vec"])
-                return jnp.concatenate(x, axis=-1)
-
-            out["grasp_r"] = grasp(grasp_in(out["hmr_r"]))
-            out["grasp_l"] = grasp(grasp_in(out["hmr_l"]))
+            self._grasp_heads(cfg, out, B)
 
         if cfg.regress_center_corner:
             center_head = RegressionHead(2, name="center_head")
@@ -290,6 +283,23 @@ class HandsLightNet(nn.Module):
             out["corner_r"] = corner_head(r_vec)
             out["corner_l"] = corner_head(l_vec)
         return out
+
+    def _grasp_heads(self, cfg, out, B):
+        """Shared grasp classifier over both hands' hmr outputs
+        (model.py:55-69; runs on the crop and the no_crops paths alike)."""
+        grasp = GraspClassifier(name="grasp_classifier")
+
+        def grasp_in(h):
+            x = [h["shape"], h["pose"].reshape(B, -1)]
+            # global features reach the grasp head only when the glb branch
+            # exists (model.py:64-66 sizes the classifier input by both
+            # flags together)
+            if cfg.use_glb_feat_w_grasp and "feat_vec" in out:
+                x.append(out["feat_vec"])
+            return jnp.concatenate(x, axis=-1)
+
+        out["grasp_r"] = grasp(grasp_in(out["hmr_r"]))
+        out["grasp_l"] = grasp(grasp_in(out["hmr_l"]))
 
 
 # --------------------------------------------------------------- flip swap

@@ -33,9 +33,11 @@ def test_construct_args_reference_flags():
     assert cfg.acc_grad == 2
     assert cfg.setup == "p1"
     assert cfg.lr_dec_epoch == (10, 20)
-    # method defaults applied under overrides
-    assert cfg.dataset == "arctic"
+    # method defaults applied under overrides (reference
+    # configs/arctic_light.py: mixed dataset, full-image inputs, no pos enc)
+    assert cfg.dataset == "hands+assembly+epic_grasp+epic_seg"
     assert cfg.pos_enc is None
+    assert cfg.no_crops is True
 
 
 def test_debug_flag_behavior():

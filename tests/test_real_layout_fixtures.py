@@ -93,7 +93,7 @@ def _build_arctic_tree(root, n_frames=4, ego_scale=0.3):
         for f in range(n_frames)
     ]
     os.makedirs(os.path.join(base, "splits"), exist_ok=True)
-    np.save(os.path.join(base, "splits/p2_val.npy"),
+    np.save(os.path.join(base, "splits/p2a_val.npy"),
             {"data_dict": data_dict, "imgnames": imgnames},
             allow_pickle=True)
     misc = {"s01": {
@@ -536,7 +536,7 @@ def test_arctic_exo_view_intrinsics_and_speedup(tmp_path, monkeypatch):
     K_ego, full_w, full_h = _build_arctic_tree(str(tmp_path))
     base = os.path.join(str(tmp_path), "arctic/data/arctic_data/data")
     # extend the split with an exo-view imgname (view 2) + its crop image
-    p = os.path.join(base, "splits/p2_val.npy")
+    p = os.path.join(base, "splits/p2a_val.npy")
     data = np.load(p, allow_pickle=True).item()
     exo_name = "./arctic_data/data/images/s01/box_grab_01/2/00010.jpg"
     data["imgnames"] = [exo_name]
