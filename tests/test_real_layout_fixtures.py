@@ -565,3 +565,68 @@ def test_arctic_exo_view_intrinsics_and_speedup(tmp_path, monkeypatch):
         du.pad_jts2d(raw),
         np.asarray([full_w / 2, full_h / 2, max(full_w, full_h) / 200.0]))
     np.testing.assert_allclose(rec.j2d_r[:, :2], expect[:, :2], rtol=1e-5)
+
+
+def test_egoexo_eval_epoch_uses_masked_procrustes(tmp_path, monkeypatch):
+    """Full eval epoch over the real-layout EgoExo fixture: loader ->
+    eval_step -> per-image aggregation, with the per-joint 3D validity
+    driving the masked weighted-Procrustes path (eval_modules.py:231-317).
+    The invalid joint must not corrupt the finite metrics."""
+    monkeypatch.setenv("DATA_DIR", str(tmp_path))
+    import pickle
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "ego4d_hands"), exist_ok=True)
+    full_w, full_h = 512, 384
+    K_full = np.asarray([[400.0, 0, full_w / 2], [0, 400.0, full_h / 2],
+                         [0, 0, 1]])
+    joints = list(D.EgoExoDataset.INDEX2JOINTS.values())
+    rng = np.random.RandomState(11)
+    ann = {}
+    for fi in range(3):
+        j3d, j2d = {}, {}
+        for side in ("right", "left"):
+            for name in joints:
+                if side == "right" and name == "middle_2":
+                    continue  # one missing joint -> per-joint mask
+                p = rng.rand(3) * 0.1 + [0, 0, 0.5]
+                j3d[f"{side}_{name}"] = {"x": p[0], "y": p[1], "z": p[2]}
+                q = K_full @ p
+                j2d[f"{side}_{name}"] = {"x": q[0] / q[2], "y": q[1] / q[2]}
+        ann[f"frame_{fi}"] = {
+            "img": _img(80 + fi), "crop_size": (IMG_H, IMG_W),
+            "image_size": (full_w, full_h), "intrx": K_full,
+            "j3d": j3d, "j2d": j2d,
+        }
+    with open(os.path.join(
+            root, "ego4d_hands/joint_annotations_egoexo_val.pkl"), "wb") as f:
+        pickle.dump(ann, f)
+
+    from hands_tpu.models.registry import fetch_model
+    from hands_tpu.train.state import create_train_state
+    from hands_tpu.train.trainer import Trainer
+    from hands_tpu.utils.experiment import Experiment
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        use_glb_feat=False, use_grasp_loss=False, use_render_seg_loss=False,
+        val_dataset="egoexo", valsplit="minival", test_batch_size=2,
+        num_workers=0, exp_key="egoexo_eval_test", mute=True, no_vis=True,
+        logger="none",
+    )
+    from hands_tpu.data.factory import fetch_dataloader
+
+    loader = fetch_dataloader(cfg, "val")
+    model = fetch_model(cfg)
+    inputs, _, meta = next(iter(loader))
+    from hands_tpu.core.xdict import device_view
+
+    variables = model.init(jax.random.PRNGKey(0), inputs, device_view(meta))
+    state = create_train_state(cfg, variables)
+    trainer = Trainer(cfg, model, Experiment(cfg))
+    metrics = trainer.validate(state, loader)
+    pa_keys = [k for k in metrics if "mpjpe/pa" in k or "mpjpe.pa" in k]
+    assert pa_keys, metrics.keys()
+    for k in pa_keys:
+        assert np.isfinite(metrics[k]), (k, metrics[k])
+
