@@ -45,10 +45,21 @@ def stack_records(records: List[Record]) -> dict:
             else np.zeros(4, np.float32) for b in boxes])
         return vals, ok
 
+    def st_u8(fn):
+        # ship pixels as uint8: 4x less host->device transfer than the
+        # float32 stack (the device program casts on-chip anyway)
+        arrs = []
+        for r in records:
+            a = np.asarray(fn(r))
+            if a.dtype != np.uint8:
+                a = np.clip(a, 0, 255).astype(np.uint8)
+            arrs.append(a)
+        return np.stack(arrs)
+
     r_det, r_ok = det_boxes(lambda r: r.r_bbox)
     l_det, l_ok = det_boxes(lambda r: r.l_bbox)
     out = {
-        "image": st(lambda r: r.image),
+        "image": st_u8(lambda r: r.image),
         "K": st(lambda r: r.K),
         "is_egocam": np.asarray([r.is_egocam for r in records], np.float32),
         # -1 sentinels: fall back to the config-level camera policy on device
@@ -90,7 +101,7 @@ def stack_records(records: List[Record]) -> dict:
         out["joints3d_valid_r"] = st(lambda r: r.joints3d_valid_r)
         out["joints3d_valid_l"] = st(lambda r: r.joints3d_valid_l)
     if records[0].mask is not None:
-        out["mask"] = st(lambda r: r.mask)
+        out["mask"] = st_u8(lambda r: r.mask)
     if records[0].depth is not None:
         out["depth"] = st(lambda r: r.depth)
     out["_imgnames"] = [r.imgname for r in records]
