@@ -154,52 +154,88 @@ def find_contact_windows(
     dist_idx: np.ndarray,  # (T, 778) matched object vertex ids
     vo: np.ndarray,  # (Vo, 3) canonical object vertices
     contact_thres: float = 3e-3,
-    window_thres: int = 11,
-    slide_thres: float = 3e-3,
+    window_thres: int = 15,
 ) -> np.ndarray:
     """Mine continuous-contact windows [start, end, hand_vid, obj_vid]
-    (mdev.py ``find_windows``), vectorised over time with run-length
-    encoding instead of the reference's per-frame python loop."""
-    T, V = dist.shape
-    contacts = dist < contact_thres
+    (reference mdev.py ``find_windows``), vectorised over time with
+    run-length encoding instead of the per-frame python loop. Semantics are
+    reference-exact: the sliding-contact filter is the nanmean of the
+    pairwise canonical-object distances with the (window_thres-sized) upper
+    triangle removed, windows that reach the last frame are dropped (the
+    reference only closes a window on a contact->no-contact transition),
+    and the matched object vertex is the mode of the per-frame matches."""
+    T, V = np.shape(dist)
+    contacts = np.asarray(dist) < contact_thres
+    dist_idx = np.asarray(dist_idx)
+    vo = np.asarray(vo)
     cand = np.nonzero(contacts.sum(axis=0) >= window_thres)[0]
+    triu = np.triu_indices(window_thres)
     windows = []
     for vidx in cand:
         col = contacts[:, vidx]
-        # run-length encode contact runs
         padded = np.concatenate([[0], col.astype(np.int8), [0]])
         delta = np.diff(padded)
         starts = np.nonzero(delta == 1)[0]
         ends = np.nonzero(delta == -1)[0] - 1
         for s, e in zip(starts, ends):
+            if e == T - 1:
+                # the reference loop never closes a window still in contact
+                # at the final frame (mdev.py:38-58)
+                continue
             if e - s + 1 < window_thres:
                 continue
             j_list = dist_idx[s:e + 1, vidx]
             vj = vo[j_list]
-            centroid = vj.mean(axis=0)
-            mean_dist = np.linalg.norm(vj - centroid, axis=1).mean()
-            if mean_dist > slide_thres:
-                continue  # sliding contact, skip
-            windows.append([s, e, vidx, int(j_list[len(j_list) // 2])])
+            cdist = np.linalg.norm(vj[:, None, :] - vj[None, :, :], axis=-1)
+            # reference quirk kept for parity: the nan-ed triangle is sized
+            # window_thres, not the actual window length (mdev.py:72-76)
+            cdist = cdist.copy()
+            cdist[triu] = np.nan
+            if np.nanmean(cdist) > contact_thres:
+                continue  # finger slid along the object surface
+            vals, counts = np.unique(j_list, return_counts=True)
+            jidx = int(vals[np.argmax(counts)])  # torch.mode: smallest mode
+            windows.append([s, e, vidx, jidx])
     return np.asarray(windows, np.int64).reshape(-1, 4)
 
 
-def compute_mdev(
+def compute_mdev_windows(
+    windows: np.ndarray,  # (W, 4) from find_contact_windows
     v_hand: np.ndarray,  # (T, 778, 3) posed hand vertices over the sequence
     v_obj: np.ndarray,  # (T, Vo, 3) posed object vertices
-    windows: np.ndarray,  # (W, 4) from find_contact_windows
-) -> float:
-    """Motion deviation (mdev.py:113): within each contact window, the hand
-    vertex and its matched object vertex should move identically; mdev is
-    the mean norm of their relative displacement per frame (mm)."""
-    if len(windows) == 0:
-        return float("nan")
-    devs = []
+    frame_valid: np.ndarray = None,  # (T,) per-frame validity
+) -> np.ndarray:
+    """Per-window motion deviation (reference mdev.py ``compute_mdev``):
+    the hand vertex and its matched object vertex must move identically
+    inside a contact window; a frame-to-frame diff counts only when both
+    frames are valid (nanmean over the window). Returns (W,) metres."""
+    if frame_valid is None:
+        frame_valid = np.ones(v_hand.shape[0])
+    frame_valid = np.asarray(frame_valid, bool)
+    out = []
     for s, e, i, j in windows:
         dh = np.diff(v_hand[s:e + 1, i], axis=0)
         do = np.diff(v_obj[s:e + 1, j], axis=0)
-        devs.append(np.linalg.norm(dh - do, axis=1).mean())
-    return float(np.mean(devs) * 1000.0)
+        diff = dh - do
+        valid = frame_valid[s:e + 1]
+        diff_valid = valid[1:] & valid[:-1]
+        norms = np.linalg.norm(diff, axis=1)
+        norms = np.where(diff_valid, norms, np.nan)
+        out.append(np.nanmean(norms) if diff_valid.any() else np.nan)
+    return np.asarray(out, np.float64)
+
+
+def compute_mdev(
+    v_hand: np.ndarray,
+    v_obj: np.ndarray,
+    windows: np.ndarray,
+    frame_valid: np.ndarray = None,
+) -> float:
+    """Scalar sequence mdev in mm (mean over contact windows)."""
+    if len(windows) == 0:
+        return float("nan")
+    per_win = compute_mdev_windows(windows, v_hand, v_obj, frame_valid)
+    return float(np.nanmean(per_win) * 1000.0)
 
 
 def eval_mrrpe_ro(pred, targets, meta_info) -> XDict:
@@ -232,13 +268,16 @@ def compute_v2v_dist(v_gt, v_pred, mask, is_valid):
 
 def eval_motion_deviation(v_hand_seq, v_obj_seq, dist_seq, dist_idx_seq,
                           vo_canonical, contact_thres: float = 3e-3,
-                          window_thres: int = 11) -> float:
-    """Sequence-level mdev (mdev.py:144): mine contact windows on the GT
-    distance fields, then measure hand/object relative drift. Host-side."""
+                          window_thres: int = 15,
+                          frame_valid=None) -> float:
+    """Sequence-level mdev (mdev.py:144, reference defaults: 3mm contact,
+    15-frame windows): mine contact windows on the GT distance fields, then
+    measure hand/object relative drift. Host-side."""
     windows = find_contact_windows(
         np.asarray(dist_seq), np.asarray(dist_idx_seq),
         np.asarray(vo_canonical), contact_thres, window_thres)
-    return compute_mdev(np.asarray(v_hand_seq), np.asarray(v_obj_seq), windows)
+    return compute_mdev(np.asarray(v_hand_seq), np.asarray(v_obj_seq),
+                        windows, frame_valid)
 
 
 object_eval_fn_dict = {
