@@ -63,13 +63,32 @@ def unsort(ordered: Sequence, sort_idx: Sequence) -> list:
 
 
 def chunks_by_len(lst: Sequence, n: int) -> List[list]:
+    """Split into n chunks of ceil(len/n) (reference list_utils.py:4 — n is
+    the chunk COUNT, not size)."""
+    import math
+
+    size = int(math.ceil(float(len(lst)) / n))
+    return [list(lst[i:i + size]) for i in range(0, len(lst), size)]
+
+
+def chunks_by_size(lst: Sequence, n: int) -> List[list]:
+    """Split into chunks of size n (reference list_utils.py:13)."""
     return [list(lst[i:i + n]) for i in range(0, len(lst), n)]
 
 
 def all_comb(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Cartesian product of two 1-D index arrays -> (len(x)*len(y), 2)."""
-    gx, gy = jnp.meshgrid(x, y, indexing="ij")
-    return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+    """All row combinations with features concatenated:
+    (n_x, d_x) x (n_y, d_y) -> (n_x*n_y, d_x+d_y); 1-D inputs behave as
+    d=1 index pairs (reference torch_utils.all_comb:96)."""
+    x2 = x.reshape(x.shape[0], -1)
+    y2 = y.reshape(y.shape[0], -1)
+    nx, ny = x2.shape[0], y2.shape[0]
+    xr = jnp.repeat(x2, ny, axis=0)
+    yr = jnp.tile(y2, (nx, 1))
+    out = jnp.concatenate([xr, yr], axis=1)
+    if x.ndim == 1 and y.ndim == 1:
+        return out  # (n_x*n_y, 2) index pairs
+    return out
 
 
 def nanmean(x: jnp.ndarray, axis=None) -> jnp.ndarray:

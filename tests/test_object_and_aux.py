@@ -150,7 +150,9 @@ def test_tree_utils():
     assert dl == {"a": [1, 3], "b": [2, 4]}
     assert tu.dl2ld(dl) == ld
     assert tu.unsort(["x", "y", "z"], [2, 0, 1]) == ["y", "z", "x"]
-    assert tu.chunks_by_len([1, 2, 3, 4, 5], 2) == [[1, 2], [3, 4], [5]]
+    # n = chunk COUNT (reference semantics): 5 items into 2 chunks of 3
+    assert tu.chunks_by_len([1, 2, 3, 4, 5], 2) == [[1, 2, 3], [4, 5]]
+    assert tu.chunks_by_size([1, 2, 3, 4, 5], 2) == [[1, 2], [3, 4], [5]]
     comb = np.asarray(tu.all_comb(jnp.asarray([0, 1]), jnp.asarray([5, 6])))
     assert comb.shape == (4, 2)
     padded, lens = tu.pad_tensor_list(
