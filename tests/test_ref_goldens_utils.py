@@ -76,3 +76,33 @@ def test_permute_np_matches_reference():
     ref = np_ref.permute_np(x.copy(), (1, 2, 0))
     ours = np.moveaxis(x, (0, 1, 2), (1, 2, 0))
     np.testing.assert_allclose(ours, ref)
+
+
+def test_downsample_matches_reference_selection():
+    """The mini/tiny/small subset selection must be byte-identical to the
+    reference's seeded random.sample (src/datasets/dataset_utils.py:187)."""
+    ds_ref = ref_compat.load("src.datasets.dataset_utils")
+    from hands_tpu.data.dataset_utils import downsample
+
+    names = [f"img_{i:05d}.jpg" for i in range(2000)]
+    # (splits whose quota exceeds the list length crash the reference's
+    # unguarded random.sample; ours clamps — a deliberate robustness fix)
+    for split in ("minitrain", "minival", "tinyval"):
+        assert ds_ref.downsample(list(names), split) == \
+            downsample(list(names), split), split
+    big = [f"img_{i:05d}.jpg" for i in range(15000)]
+    assert ds_ref.downsample(list(big), "smallval") == \
+        downsample(list(big), "smallval")
+    assert ds_ref.downsample(list(names), "train") == \
+        downsample(list(names), "train")
+
+
+def test_get_num_images_matches_reference():
+    ds_ref = ref_compat.load("src.datasets.dataset_utils")
+    from hands_tpu.data.dataset_utils import get_num_images
+
+    for split in ("minitrain", "tinytrain", "smalltrain", "minival",
+                  "tinyval", "smallval", "minitest", "tinytest", "smalltest",
+                  "train", "val", "test"):
+        assert get_num_images(split, 10 ** 9) == \
+            ds_ref.get_num_images(split, 10 ** 9), split
