@@ -55,7 +55,10 @@ class HMRLayer(nn.Module):
 
         pred = dict(init_vec)
         for it in range(self.n_iter):
-            vec = jnp.concatenate([pred[k] for k, _ in self.specs], axis=-1)
+            # concat in the init-dict's insertion order (pose_6d, shape,
+            # cam_t/wp — hand_hmr.py init_vector_dict), NOT the specs order;
+            # the reference reads pred_vector_dict.items() (hmr_layer.py:70)
+            vec = jnp.concatenate(list(pred.values()), axis=-1)
             xc = jnp.concatenate([feat, vec], axis=-1)
             xc = dropout(nn.relu(refine[0](xc)))
             xc = dropout(nn.relu(refine[1](xc)))
@@ -103,7 +106,8 @@ class TfHMRLayer(nn.Module):
 
         pred = dict(init_vec)
         for _ in range(self.n_iter):
-            vec = jnp.concatenate([pred[k] for k, _ in self.specs], axis=-1)
+            # init-dict insertion order, as in HMRLayer (hmr_layer.py:70)
+            vec = jnp.concatenate(list(pred.values()), axis=-1)
             tgt = vector_mlp(vec[..., None])  # (B, 109, mid)
             x = tgt + cross(tgt, memory)  # norm-free decoder layer
             x = x + ff2(nn.relu(ff1(x)))
@@ -148,9 +152,11 @@ class HandHMR(nn.Module):
         else:
             init_transl = cam_init(feat)
 
-        # SPIN 6D layout (reference rot6d_to_rotmat, common/rot.py:367) so
-        # pretrained reference head weights decode identically.
-        ident6d = rotlib.matrix_to_rot6d_spin(jnp.eye(3, dtype=jnp.float32)[None])
+        # pytorch3d row-major 6D (hand_hmr.py:50 uses
+        # rot_conv.matrix_to_rotation_6d — NOT the SPIN column layout, which
+        # only the HaMeR head uses via its geometry.rot6d_to_rotmat); proven
+        # by tests/test_ref_goldens_hmr_head.py.
+        ident6d = rotlib.matrix_to_rot6d(jnp.eye(3, dtype=jnp.float32)[None])
         init_pose = jnp.tile(ident6d.reshape(1, 6), (B, 16)).reshape(B, 96)
         init_vec = {
             "pose_6d": init_pose,
@@ -168,7 +174,7 @@ class HandHMR(nn.Module):
                 name="hmr_layer",
             )(feat, init_vec, train=train)
 
-        rotmat = rotlib.rot6d_to_matrix_spin(pred["pose_6d"].reshape(B, 16, 6))
+        rotmat = rotlib.rot6d_to_matrix(pred["pose_6d"].reshape(B, 16, 6))
         return {
             "pose": rotmat,
             "shape": pred["shape"],
