@@ -188,6 +188,23 @@ def matrix_to_rot6d_spin(matrix: jnp.ndarray) -> jnp.ndarray:
     return matrix[..., :, :2].reshape(matrix.shape[:-2] + (6,))
 
 
+def rot6d_to_matrix_hamer(d6: jnp.ndarray) -> jnp.ndarray:
+    """HaMeR's 6D convention (hamer_light/geometry.py:47
+    ``rot6d_to_rotmat``): the two 3-vectors are the contiguous halves of the
+    6-vector and the Gram-Schmidt frame forms the matrix *columns* — i.e.
+    the transpose of the pytorch3d row decode. Identity encodes as
+    ``[1, 0, 0, 0, 1, 0]`` (same as pytorch3d, unlike SPIN's interleaved
+    read). The released HaMeR head weights emit this layout."""
+    return jnp.swapaxes(rot6d_to_matrix(d6), -1, -2)
+
+
+def matrix_to_rot6d_hamer(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Inverse encode for :func:`rot6d_to_matrix_hamer`: first two columns,
+    column-major halves."""
+    return jnp.swapaxes(matrix, -1, -2)[..., :2, :].reshape(
+        matrix.shape[:-2] + (6,))
+
+
 # ------------------------------------------------------------- quaternion ops
 def standardize_quaternion(quat: jnp.ndarray) -> jnp.ndarray:
     """Flip sign so the real part is non-negative (pytorch3d semantics,

@@ -319,7 +319,9 @@ class Regressor(nn.Module):
 
         from hands_tpu.core import rot as rotlib
 
-        rotmats = rotlib.rot6d_to_matrix_spin(pose6d.reshape(B, 16, 6))
+        # handoccnet's rot6d2mat (mano_head.py:132): contiguous halves,
+        # Gram-Schmidt frame as matrix COLUMNS — same layout as HaMeR's
+        rotmats = rotlib.rot6d_to_matrix_hamer(pose6d.reshape(B, 16, 6))
         return {
             "pose": rotmats,
             "shape": shape,

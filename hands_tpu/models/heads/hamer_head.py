@@ -37,8 +37,8 @@ def load_mean_params() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             d["cam"].astype(np.float32).reshape(-1),
         )
     ident6d = np.tile(
-        np.asarray([1, 0, 0, 1, 0, 0], np.float32), 16
-    )  # identity rotations, SPIN 6D layout (common/rot.py:384)
+        np.asarray([1, 0, 0, 0, 1, 0], np.float32), 16
+    )  # identity rotations, HaMeR 6D layout (geometry.py:47)
     return ident6d, np.zeros(10, np.float32), np.asarray([0.9, 0, 0], np.float32)
 
 
@@ -122,12 +122,17 @@ class ManoTransformerDecoderHead(nn.Module):
         pred_cam = jnp.tile(jnp.asarray(mean_cam)[None], (B, 1))
 
         token_in = nn.Dense(self.dim, name="token_proj")
+        # learned query position embedding (pose_transformer.py:329: the
+        # zero input token becomes token_proj bias + pos_embedding)
+        pos_emb = self.param("pos_embedding", nn.initializers.normal(1.0),
+                             (1, 1, self.dim), jnp.float32)
         layers = [
             DecoderLayer(self.heads, self.dim_head, self.mlp_dim,
                          dtype=self.dtype, name=f"layer{i}")
             for i in range(self.depth)
         ]
-        final_norm = nn.LayerNorm(dtype=jnp.float32, name="decoder_norm")
+        # NOTE: the reference decoder has NO final LayerNorm — readouts come
+        # straight off the last residual stream (pose_transformer.py:196-201)
         decpose = nn.Dense(96, name="decpose")
         decshape = nn.Dense(10, name="decshape")
         deccam = nn.Dense(3, name="deccam")
@@ -135,14 +140,17 @@ class ManoTransformerDecoderHead(nn.Module):
         for _ in range(self.ief_iters):
             # reference uses a zero token (input_is_mean_shape=False)
             token = token_in(jnp.zeros((B, 1, 1), jnp.float32))
+            token = token + pos_emb.astype(token.dtype)
             for layer in layers:
                 token = layer(token, context)
-            token = final_norm(token)[:, 0]
+            token = token[:, 0]
             pred_pose = decpose(token) + pred_pose
             pred_betas = decshape(token) + pred_betas
             pred_cam = deccam(token) + pred_cam
 
-        rotmats = rotlib.rot6d_to_matrix_spin(pred_pose.reshape(B, 16, 6))
+        # HaMeR's own 6D convention (geometry.py:47) — NOT SPIN, NOT the
+        # pytorch3d row layout; proven by tests/test_ref_goldens_hamer_head
+        rotmats = rotlib.rot6d_to_matrix_hamer(pred_pose.reshape(B, 16, 6))
         return {
             "pose": rotmats,  # (B, 16, 3, 3) incl. global orient at 0
             "shape": pred_betas,

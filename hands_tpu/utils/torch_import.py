@@ -157,3 +157,56 @@ def import_hamer_checkpoint(path: str) -> Dict:
     backbone = {k.replace("backbone.", ""): v for k, v in sd.items()
                 if k.startswith("backbone.")}
     return import_vit(backbone, depth=32, scan=True)
+
+
+def import_hamer_head(state_dict: Dict) -> Dict:
+    """HaMeR MANOTransformerDecoderHead state_dict -> params for
+    heads.hamer_head.ManoTransformerDecoderHead (depth-6 cross-attention
+    decoder, mano_head.py:10 + pose_transformer.py:300). Keys are expected
+    without the "mano_head." prefix."""
+    sd = state_dict
+    p: Dict = {
+        "token_proj": {"kernel": _linear(sd["transformer.to_token_embedding.weight"]),
+                       "bias": _t2np(sd["transformer.to_token_embedding.bias"])},
+        "pos_embedding": _t2np(sd["transformer.pos_embedding"]),
+        "decpose": {"kernel": _linear(sd["decpose.weight"]),
+                    "bias": _t2np(sd["decpose.bias"])},
+        "decshape": {"kernel": _linear(sd["decshape.weight"]),
+                     "bias": _t2np(sd["decshape.bias"])},
+        "deccam": {"kernel": _linear(sd["deccam.weight"]),
+                   "bias": _t2np(sd["deccam.bias"])},
+    }
+    i = 0
+    while f"transformer.transformer.layers.{i}.0.norm.weight" in sd:
+        pre = f"transformer.transformer.layers.{i}"
+
+        def ln(idx):
+            return {"scale": _t2np(sd[f"{pre}.{idx}.norm.weight"]),
+                    "bias": _t2np(sd[f"{pre}.{idx}.norm.bias"])}
+
+        qkv = _linear(sd[f"{pre}.0.fn.to_qkv.weight"])  # (dim, 3*inner)
+        inner = qkv.shape[1] // 3
+        layer = {
+            "LayerNorm_0": ln(0),
+            "self_attn": {"attn": {
+                "to_q": {"kernel": qkv[:, :inner]},
+                "to_kv": {"kernel": qkv[:, inner:]},
+                "to_out": {"kernel": _linear(sd[f"{pre}.0.fn.to_out.0.weight"]),
+                           "bias": _t2np(sd[f"{pre}.0.fn.to_out.0.bias"])},
+            }},
+            "LayerNorm_1": ln(1),
+            "cross_attn": {
+                "to_q": {"kernel": _linear(sd[f"{pre}.1.fn.to_q.weight"])},
+                "to_kv": {"kernel": _linear(sd[f"{pre}.1.fn.to_kv.weight"])},
+                "to_out": {"kernel": _linear(sd[f"{pre}.1.fn.to_out.0.weight"]),
+                           "bias": _t2np(sd[f"{pre}.1.fn.to_out.0.bias"])},
+            },
+            "LayerNorm_2": ln(2),
+            "Dense_0": {"kernel": _linear(sd[f"{pre}.2.fn.net.0.weight"]),
+                        "bias": _t2np(sd[f"{pre}.2.fn.net.0.bias"])},
+            "Dense_1": {"kernel": _linear(sd[f"{pre}.2.fn.net.3.weight"]),
+                        "bias": _t2np(sd[f"{pre}.2.fn.net.3.bias"])},
+        }
+        p[f"layer{i}"] = layer
+        i += 1
+    return {"params": p}

@@ -1,0 +1,83 @@
+"""Golden parity: the HaMeR cross-attention MANO decoder head vs the
+reference's own ``src/models/hamer_light/mano_head.py`` +
+``pose_transformer.py`` (torch + einops, runnable as-is). Random torch
+weights are converted via ``torch_import.import_hamer_head`` and the eval
+forwards must match <1e-5 — incl. the HaMeR-specific 6D decode
+(geometry.py:47: contiguous halves -> matrix columns)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("einops")
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tests import ref_compat
+from hands_tpu.models.heads.hamer_head import ManoTransformerDecoderHead
+from hands_tpu.utils import torch_import as ti
+
+
+class _Cfg(dict):
+    pass
+
+
+def _build_reference_head(tmp_path, monkeypatch, mean_pose, mean_shape,
+                          mean_cam):
+    np.savez(tmp_path / "mano_mean_params.npz", pose=mean_pose,
+             shape=mean_shape, cam=mean_cam)
+    import os
+
+    os.makedirs(tmp_path / "hamer/_DATA/data", exist_ok=True)
+    np.savez(tmp_path / "hamer/_DATA/data/mano_mean_params.npz",
+             pose=mean_pose, shape=mean_shape, cam=mean_cam)
+    monkeypatch.setenv("DATA_DIR", str(tmp_path))
+    ref_mod = ref_compat.load("src.models.hamer_light.mano_head")
+    torch.manual_seed(0)
+    tm = ref_mod.MANOTransformerDecoderHead(_Cfg())
+    tm.eval()
+    return tm
+
+
+def test_hamer_decoder_head_matches_reference(tmp_path, monkeypatch):
+    rng = np.random.RandomState(0)
+    mean_pose = rng.randn(96).astype(np.float32) * 0.1 \
+        + np.tile([1, 0, 0, 0, 1, 0], 16).astype(np.float32)
+    mean_shape = rng.randn(10).astype(np.float32) * 0.1
+    mean_cam = np.asarray([0.9, 0.0, 0.0], np.float32)
+    tm = _build_reference_head(tmp_path, monkeypatch, mean_pose, mean_shape,
+                               mean_cam)
+
+    feat = rng.randn(2, 1280, 16, 12).astype(np.float32)  # NCHW, ViT-H map
+    with torch.no_grad():
+        pred_mano, pred_cam, _ = tm(torch.from_numpy(feat))
+    ref_pose = torch.cat(
+        [pred_mano["global_orient"], pred_mano["hand_pose"]], dim=1).numpy()
+    ref_betas = pred_mano["betas"].numpy()
+    ref_cam = pred_cam.numpy()
+
+    variables = ti.import_hamer_head(tm.state_dict())
+    fm = ManoTransformerDecoderHead()
+    feat_nhwc = jnp.asarray(feat.transpose(0, 2, 3, 1))
+    out = fm.apply(variables, feat_nhwc, train=False)
+
+    np.testing.assert_allclose(np.asarray(out["cam_t.wp"]), ref_cam,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["shape"]), ref_betas,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["pose"]), ref_pose, atol=1e-5)
+
+
+def test_import_hamer_checkpoint_includes_head(tmp_path, monkeypatch):
+    """A released-format HaMeR .ckpt (backbone.* + mano_head.*) converts
+    into both the ViT backbone and the decoder head trees."""
+    rng = np.random.RandomState(1)
+    mean = np.tile([1, 0, 0, 0, 1, 0], 16).astype(np.float32)
+    tm = _build_reference_head(tmp_path, monkeypatch, mean,
+                               np.zeros(10, np.float32),
+                               np.asarray([0.9, 0, 0], np.float32))
+    head_sd = {f"mano_head.{k}": v for k, v in tm.state_dict().items()}
+    converted = ti.import_hamer_head(
+        {k.replace("mano_head.", ""): v for k, v in head_sd.items()})
+    assert "layer5" in converted["params"]
+    assert converted["params"]["pos_embedding"].shape == (1, 1, 1024)
