@@ -181,7 +181,9 @@ class GatedAttentionBlock(nn.Module):
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, heads(v)).reshape(B, N, C)
             tokens = query.reshape(B, N, C) + out
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tokens)
+        # epsilon=1e-5 (torch LayerNorm default): the gated attention rows
+        # can be near zero-variance, where the eps dominates the normaliser
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tokens)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype)(y)
