@@ -86,13 +86,15 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
+        # epsilon=1e-5: the reference PreNorms are torch nn.LayerNorm
+        # defaults (pose_transformer.py:30)
         x = x + SelfAttention(self.heads, self.dim_head, self.dtype,
                               name="self_attn")(
-            nn.LayerNorm(dtype=jnp.float32)(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x))
         x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
                                name="cross_attn")(
-            nn.LayerNorm(dtype=jnp.float32)(x), context)
-        y = nn.LayerNorm(dtype=jnp.float32)(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x), context)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(x.shape[-1], dtype=self.dtype)(y)
