@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from hands_tpu.core import rot as rotlib
@@ -67,13 +68,46 @@ class HMRLayer(nn.Module):
         return pred
 
 
+class TorchMHA(nn.Module):
+    """torch ``nn.MultiheadAttention``-compatible attention (fused in_proj +
+    out_proj param layout; scale = head_dim^-0.5)."""
+
+    dim: int
+    num_heads: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        d = self.dim
+        w = self.param("in_proj_kernel", nn.initializers.xavier_uniform(),
+                       (d, 3 * d), jnp.float32)
+        b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,),
+                       jnp.float32)
+        qp = q @ w[:, :d] + b[:d]
+        kp = k @ w[:, d:2 * d] + b[d:2 * d]
+        vp = v @ w[:, 2 * d:] + b[2 * d:]
+        B, N, _ = qp.shape
+        H = self.num_heads
+        hd = d // H
+
+        def heads(z):
+            return z.reshape(B, -1, H, hd)
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", heads(qp) * hd**-0.5, heads(kp))
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(q.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, heads(vp)).reshape(B, N, d)
+        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+
+
 class TfHMRLayer(nn.Module):
     """Transformer-decoder refinement variant (reference ``hmr_layer.py``
-    ``tf_decoder`` path): each scalar of the 109-dim parameter vector becomes
-    a token (Linear 1->mid), cross-attends to the spatial feature tokens,
-    passes a self-attention encoder (both norm-free, matching the
-    reference's ``no_norm`` transformer fork), means over tokens, and
-    additive decoders update the parameters. n_iter static."""
+    tf_decoder path, proven by tests/test_ref_goldens_tf_decoder): each
+    scalar of the 109-dim parameter vector becomes a token (Linear 1->mid,
+    ReLU), the spatial features become memory tokens (Linear feat->mid,
+    ReLU), then ONE norm-free torch TransformerDecoderLayer
+    (self-attn -> cross-attn -> relu-FF, transformer.py:653-658) followed by
+    ONE norm-free TransformerEncoderLayer (self-attn -> relu-FF, L:535-539),
+    mean over tokens, additive decoders. n_iter static."""
 
     mid_dim: int = 1024
     specs: Tuple[Tuple[str, int], ...] = tuple(HAND_SPECS.items())
@@ -85,35 +119,38 @@ class TfHMRLayer(nn.Module):
         B = feat_map.shape[0]
         mem = feat_map.reshape(B, -1, feat_map.shape[-1])
         feat_mlp = nn.Sequential(
-            [nn.Dense(self.mid_dim, dtype=self.dtype), nn.relu])
+            [nn.Dense(self.mid_dim, dtype=self.dtype, name="feat_mlp_dense"),
+             nn.relu])
         vector_mlp = nn.Sequential(
-            [nn.Dense(self.mid_dim, dtype=self.dtype), nn.relu])
+            [nn.Dense(self.mid_dim, dtype=self.dtype, name="vector_mlp_dense"),
+             nn.relu])
         memory = feat_mlp(mem)  # (B, S, mid)
 
-        def mha(name):
-            return nn.MultiHeadDotProductAttention(
-                num_heads=1, dtype=self.dtype, name=name)
-
-        cross = mha("cross_attn")
-        self_attn = mha("self_attn")
-        ff1 = nn.Dense(self.mid_dim, dtype=self.dtype, name="ff1")
-        ff2 = nn.Dense(self.mid_dim, dtype=self.dtype, name="ff2")
+        dec_sa = TorchMHA(self.mid_dim, dtype=self.dtype, name="dec_self_attn")
+        dec_ca = TorchMHA(self.mid_dim, dtype=self.dtype, name="dec_cross_attn")
+        dec_ff1 = nn.Dense(self.mid_dim, dtype=self.dtype, name="dec_linear1")
+        dec_ff2 = nn.Dense(self.mid_dim, dtype=self.dtype, name="dec_linear2")
+        enc_sa = TorchMHA(self.mid_dim, dtype=self.dtype, name="enc_self_attn")
+        enc_ff1 = nn.Dense(self.mid_dim, dtype=self.dtype, name="enc_linear1")
+        enc_ff2 = nn.Dense(self.mid_dim, dtype=self.dtype, name="enc_linear2")
         decoders = {
             key: nn.Dense(size, kernel_init=_small_xavier(), name=f"dec_{key}")
             for key, size in self.specs
         }
-        dropout = nn.Dropout(0.5, deterministic=not train)
 
         pred = dict(init_vec)
         for _ in range(self.n_iter):
             # init-dict insertion order, as in HMRLayer (hmr_layer.py:70)
             vec = jnp.concatenate(list(pred.values()), axis=-1)
             tgt = vector_mlp(vec[..., None])  # (B, 109, mid)
-            x = tgt + cross(tgt, memory)  # norm-free decoder layer
-            x = x + ff2(nn.relu(ff1(x)))
-            x = x + self_attn(x, x)
-            x = x + ff2(nn.relu(ff1(x)))
-            xc = dropout(x.mean(axis=1))
+            # no_norm TransformerDecoderLayer (transformer.py:653-658)
+            x = tgt + dec_sa(tgt, tgt, tgt)
+            x = x + dec_ca(x, memory, memory)
+            x = x + dec_ff2(nn.relu(dec_ff1(x)))
+            # no_norm TransformerEncoderLayer (transformer.py:535-539)
+            x = x + enc_sa(x, x, x)
+            x = x + enc_ff2(nn.relu(enc_ff1(x)))
+            xc = x.mean(axis=1)
             for key, _ in self.specs:
                 pred[key] = pred[key] + decoders[key](xc)
         return pred
