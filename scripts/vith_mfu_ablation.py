@@ -1,16 +1,17 @@
 """ViT-H forward-throughput ablations on the real chip (VERDICT r1 #8).
 
 Measures bs256 crops/s for the stock backbone and one-change-at-a-time
-variants to locate the missing MFU (449 crops/s ~= 56% of the 795 crops/s
-bf16 roofline, BENCH_NOTES.md):
+variants to locate the missing MFU (results + decomposition in
+BENCH_NOTES.md "ViT-H MFU ablation"):
 
-  stock          current ViTBackbone
-  softmax_bf16   softmax computed in bf16 (no fp32 materialisation)
-  ln_bf16        LayerNorms compute in bf16
-  both           softmax_bf16 + ln_bf16
-  qk_prescale    fold the 1/sqrt(d) into the qkv kernel (no extra pass)
+  stock            current ViTBackbone (exact GELU, f32 softmax+LN)
+  no_softmax       linear attention (softmax cost probe)
+  no_attn(out=v)   attention einsums removed entirely
+  stock_bs512      batch-scaling probe
 
-Run: python scripts/vith_mfu_ablation.py [--batch 256] [--variant h]
+Timing uses a one-scalar fetch barrier (block_until_ready does not block
+through the axon tunnel). Run:
+  python scripts/vith_mfu_ablation.py [--batch 256] [--variant h]
 """
 
 import argparse
