@@ -45,6 +45,16 @@ def convert(src: str, arch: str, target_grid=None) -> dict:
             target_grid=target_grid, src_grid=_SRC_GRIDS[arch])
     if arch == "hamer":
         return ti.import_hamer_checkpoint(src)
+    if arch == "wildhands":
+        sd = ti.load_torch_state_dict(src)
+        # released ckpts wrap the net as 'model.' inside the Lightning module
+        if any(k.startswith("model.") for k in sd):
+            sd = {k[len("model."):]: v for k, v in sd.items()
+                  if k.startswith("model.")}
+        # arch sniff: bottleneck blocks (resnet50) have a conv3
+        bb = ("resnet50"
+              if "hand_backbone.layer1.0.conv3.weight" in sd else "resnet18")
+        return ti.import_hands_trunk(sd, backbone=bb)
     raise ValueError(f"unknown arch '{arch}'")
 
 
@@ -69,7 +79,7 @@ def main(argv=None):
     p.add_argument("--src", required=True, help="torch .pth/.ckpt file")
     p.add_argument("--arch", required=True,
                    choices=["resnet18", "resnet50", "vit_b16", "vit_h",
-                            "hamer"])
+                            "hamer", "wildhands"])
     p.add_argument("--out", required=True, help="orbax output directory")
     p.add_argument("--target_grid", type=int, nargs=2, default=None,
                    help="(h, w) pos-embed token grid of the target model; "

@@ -210,3 +210,77 @@ def import_hamer_head(state_dict: Dict) -> Dict:
         p[f"layer{i}"] = layer
         i += 1
     return {"params": p}
+
+
+def _flatten_perm_linear(w_t: "np.ndarray", c: int, h: int, w: int):
+    """Reorder a torch Linear kernel that consumed a (C, H, W)-major
+    ``nn.Flatten`` so it consumes our NHWC (H, W, C)-major reshape instead.
+    ``w_t``: already-transposed kernel (C*H*W, out)."""
+    return (w_t.reshape(c, h, w, -1).transpose(1, 2, 0, 3)
+            .reshape(c * h * w, -1))
+
+
+def import_hands_trunk(state_dict: Dict, backbone: str = "resnet18") -> Dict:
+    """WildHands (hands_light) checkpoint -> Flax HandsLightNet variables:
+    both ResNet backbones, feature_conv (incl. the CHW->HWC flatten
+    permutation of its Linear), both HandHMR heads and the grasp classifier
+    (model.py:15-125). Keys are expected without a wrapper prefix."""
+    sd = state_dict
+    stages = (2, 2, 2, 2) if backbone == "resnet18" else (3, 4, 6, 3)
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+
+    def lin(k):
+        return {"kernel": _linear(sd[f"{k}.weight"]),
+                "bias": _t2np(sd[f"{k}.bias"])}
+
+    def hand_hmr(prefix):
+        s = sub(prefix)
+        p: Dict = {}
+        for i, src in enumerate(("cam_init.0", "cam_init.2", "cam_init.4")):
+            p[f"Dense_{i}"] = {"kernel": _linear(s[f"{src}.weight"]),
+                               "bias": _t2np(s[f"{src}.bias"])}
+        hl: Dict = {}
+        for dst, src in (("refine0", "hmr_layer.refine.0"),
+                         ("refine1", "hmr_layer.refine.3")):
+            hl[dst] = {"kernel": _linear(s[f"{src}.weight"]),
+                       "bias": _t2np(s[f"{src}.bias"])}
+        for key, src in (("dec_pose_6d", "hmr_layer.decoders.pose_6d"),
+                         ("dec_cam_t_wp", "hmr_layer.decoders.cam_t/wp"),
+                         ("dec_shape", "hmr_layer.decoders.shape")):
+            hl[key] = {"kernel": _linear(s[f"{src}.weight"]),
+                       "bias": _t2np(s[f"{src}.bias"])}
+        p["hmr_layer"] = hl
+        return p
+
+    fc_lin = _linear(sd["feature_conv.7.weight"])
+    params: Dict = {
+        "hand_backbone": None,  # filled below
+        "feature_conv": {
+            "Conv_0": {"kernel": _conv(sd["feature_conv.0.weight"])},
+            "Conv_1": {"kernel": _conv(sd["feature_conv.2.weight"])},
+            "Conv_2": {"kernel": _conv(sd["feature_conv.4.weight"])},
+            "Dense_0": {
+                "kernel": _flatten_perm_linear(fc_lin, 256, 3, 3),
+                "bias": _t2np(sd["feature_conv.7.bias"]),
+            },
+        },
+        "head_r": hand_hmr("head_r."),
+        "head_l": hand_hmr("head_l."),
+    }
+    batch_stats: Dict = {}
+    hand = import_resnet(sub("hand_backbone."), stage_sizes=stages)
+    params["hand_backbone"] = hand["params"]
+    batch_stats["hand_backbone"] = hand["batch_stats"]
+    if any(k.startswith("backbone.") for k in sd):
+        glb = import_resnet(sub("backbone."), stage_sizes=stages)
+        params["glb_backbone"] = glb["params"]
+        batch_stats["glb_backbone"] = glb["batch_stats"]
+    if any(k.startswith("grasp_classifier.") for k in sd):
+        params["grasp_classifier"] = {
+            f"Dense_{i}": lin(f"grasp_classifier.{j}")
+            for i, j in enumerate((0, 2, 4, 6))
+        }
+    return {"params": params, "batch_stats": batch_stats}

