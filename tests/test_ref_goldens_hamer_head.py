@@ -81,3 +81,48 @@ def test_import_hamer_checkpoint_includes_head(tmp_path, monkeypatch):
         {k.replace("mano_head.", ""): v for k, v in head_sd.items()})
     assert "layer5" in converted["params"]
     assert converted["params"]["pos_embedding"].shape == (1, 1, 1024)
+
+
+def test_kpe_token_embedding_matches_reference(tmp_path, monkeypatch):
+    """The KPE token embedding (center+corner_latent) vs the reference's own
+    PositionalEncoding module (pos_emb.py:6): sinusoidal encodings + 2-layer
+    MLP, broadcast over the 16x12 token grid."""
+    ref_mod = ref_compat.load("src.models.hamer_light.pos_emb")
+
+    class Args(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    args = Args(pos_enc="center+corner_latent", n_freq_pos_enc=4,
+                method="hamer_light")
+    torch.manual_seed(5)
+    tm = ref_mod.PositionalEncoding(args, feat_dim=128, patch_size=(16, 12))
+    tm.eval()
+    sd = tm.state_dict()
+
+    rng = np.random.RandomState(6)
+    inputs = {
+        "r_center_angle": rng.randn(2, 2).astype(np.float32) * 0.2,
+        "r_corner_angle": rng.randn(2, 8).astype(np.float32) * 0.2,
+    }
+    with torch.no_grad():
+        ref_out = tm({k: torch.from_numpy(v) for k, v in inputs.items()},
+                     prefix="r_").numpy()
+
+    from hands_tpu.models.hamer_light import KpeTokenEmbed
+
+    variables = {"params": {
+        "Dense_0": {"kernel": np.asarray(sd["feat_mlp.0.weight"].numpy().T),
+                    "bias": np.asarray(sd["feat_mlp.0.bias"].numpy())},
+        "Dense_1": {"kernel": np.asarray(sd["feat_mlp.2.weight"].numpy().T),
+                    "bias": np.asarray(sd["feat_mlp.2.bias"].numpy())},
+    }}
+    mod = KpeTokenEmbed(feat_dim=128, n_freq=4, n_tokens=16 * 12,
+                        token_hw=(16, 12), mode="center+corner_latent")
+    out = np.asarray(mod.apply(
+        variables, center_angle=jnp.asarray(inputs["r_center_angle"]),
+        corner_angle=jnp.asarray(inputs["r_corner_angle"])))
+    np.testing.assert_allclose(out, ref_out, atol=1e-5)
