@@ -190,9 +190,9 @@ class HandHMR(nn.Module):
             init_transl = cam_init(feat)
 
         # pytorch3d row-major 6D (hand_hmr.py:50 uses
-        # rot_conv.matrix_to_rotation_6d — NOT the SPIN column layout, which
-        # only the HaMeR head uses via its geometry.rot6d_to_rotmat); proven
-        # by tests/test_ref_goldens_hmr_head.py.
+        # rot_conv.matrix_to_rotation_6d; the HaMeR/HandOccNet heads use the
+        # halves->columns layout instead — rot.rot6d_to_matrix_hamer);
+        # proven by tests/test_ref_goldens_hmr_head.py.
         ident6d = rotlib.matrix_to_rot6d(jnp.eye(3, dtype=jnp.float32)[None])
         init_pose = jnp.tile(ident6d.reshape(1, 6), (B, 16)).reshape(B, 96)
         init_vec = {
