@@ -17,6 +17,9 @@ Arch map:
   cls pos token folded, pos grid bicubic-resized to --target_grid)
 - hamer                -> a released HaMeR .ckpt: backbone.* split out as
   vit_h (model.py:38-44)
+- wildhands            -> full WildHands (hands_light) trunk
+- handoccnet           -> full HandOccNet (FPN + FIT/SET + regressor + KPE
+  + grasp classifier, handoccnet_light/model.py:17)
 """
 
 from __future__ import annotations
@@ -45,6 +48,12 @@ def convert(src: str, arch: str, target_grid=None) -> dict:
             target_grid=target_grid, src_grid=_SRC_GRIDS[arch])
     if arch == "hamer":
         return ti.import_hamer_checkpoint(src)
+    if arch == "handoccnet":
+        sd = ti.load_torch_state_dict(src)
+        if any(k.startswith("model.") for k in sd):
+            sd = {k[len("model."):]: v for k, v in sd.items()
+                  if k.startswith("model.")}
+        return ti.import_handoccnet(sd)
     if arch == "wildhands":
         sd = ti.load_torch_state_dict(src)
         # released ckpts wrap the net as 'model.' inside the Lightning module
@@ -79,7 +88,7 @@ def main(argv=None):
     p.add_argument("--src", required=True, help="torch .pth/.ckpt file")
     p.add_argument("--arch", required=True,
                    choices=["resnet18", "resnet50", "vit_b16", "vit_h",
-                            "hamer", "wildhands"])
+                            "hamer", "wildhands", "handoccnet"])
     p.add_argument("--out", required=True, help="orbax output directory")
     p.add_argument("--target_grid", type=int, nargs=2, default=None,
                    help="(h, w) pos-embed token grid of the target model; "

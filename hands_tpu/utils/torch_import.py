@@ -284,3 +284,207 @@ def import_hands_trunk(state_dict: Dict, backbone: str = "resnet18") -> Dict:
             for i, j in enumerate((0, 2, 4, 6))
         }
     return {"params": params, "batch_stats": batch_stats}
+
+
+def import_handoccnet_regressor(state_dict: Dict) -> Dict:
+    """HandOccNet regressor chain (reference
+    ``src/models/handoccnet_light/regressor.py``: hand_regHead stacked
+    hourglass + spatial-softmax, hand_Encoder, mano_regHead — hand_head.py:5,
+    mano_head.py:165) -> Flax ``handoccnet_light.Regressor`` variables.
+
+    Keys are expected with the ``hand_regHead./hand_Encoder./mano_regHead.``
+    prefixes of the reference ``Regressor`` module. The hand_Encoder's
+    flattened (B, 256, 2, 2) feature is (C, H, W)-major in torch, so the
+    first MLP Linear gets the NHWC row permutation."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    def cv(k):
+        out = {"kernel": _t2np(sd[k + ".weight"]).transpose(2, 3, 1, 0)}
+        if k + ".bias" in sd:
+            out["bias"] = _t2np(sd[k + ".bias"])
+        return out
+
+    def bn(k):
+        return ({"scale": _t2np(sd[k + ".weight"]),
+                 "bias": _t2np(sd[k + ".bias"])},
+                {"mean": _t2np(sd[k + ".running_mean"]),
+                 "var": _t2np(sd[k + ".running_var"])})
+
+    def lin(k):
+        return {"kernel": _t2np(sd[k + ".weight"]).T,
+                "bias": _t2np(sd[k + ".bias"])}
+
+    def residual(prefix, bns, convs):
+        """Bottleneck (bn1/2/3, conv1/2/3) or Residual (bn/bn1/bn2,
+        conv1/2/3) -> HGResidual (bn0/1/2, Conv_0/1/2)."""
+        bp, bs = {}, {}
+        for ci, (bk, ck) in enumerate(zip(bns, convs)):
+            p, s = bn(f"{prefix}.{bk}")
+            bp[f"bn{ci}"], bs[f"bn{ci}"] = p, s
+            bp[f"Conv_{ci}"] = cv(f"{prefix}.{ck}")
+        return bp, bs
+
+    BOTTLENECK = (("bn1", "bn2", "bn3"), ("conv1", "conv2", "conv3"))
+    RESIDUAL = (("bn", "bn1", "bn2"), ("conv1", "conv2", "conv3"))
+
+    # hourglass: hg[i][j] (Sequential of one Bottleneck); recursion level
+    # n uses hg[n-1], my static unroll names by "_d" nesting depth
+    hg_p: Dict = {}
+    hg_s: Dict = {}
+    for i, pref in ((3, "hg"), (2, "hg_d"), (1, "hg_d_d"), (0, "hg_d_d_d")):
+        for j, suf in ((0, "_up"), (1, "_low1"), (2, "_low3")):
+            p, s = residual(f"hand_regHead.hg.0.hg.{i}.{j}.0", *BOTTLENECK)
+            hg_p[pref + suf], hg_s[pref + suf] = p, s
+    p, s = residual("hand_regHead.hg.0.hg.0.3.0", *BOTTLENECK)
+    hg_p["hg_d_d_d_mid"], hg_s["hg_d_d_d_mid"] = p, s
+    params["hourglass"], stats["hourglass"] = hg_p, hg_s
+
+    p, s = residual("hand_regHead.res.0.0", *BOTTLENECK)
+    params["res"], stats["res"] = p, s
+    params["fc"] = cv("hand_regHead.fc.0.block.0")
+    p, s = bn("hand_regHead.fc.0.block.1")
+    params["fc_bn"], stats["fc_bn"] = p, s
+    params["score"] = cv("hand_regHead.score.0")
+    params["betas"] = _t2np(sd["hand_regHead.betas"]).reshape(-1)
+
+    params["heatmap_conv"] = cv("hand_Encoder.heatmap_conv")
+    params["encoding_conv"] = cv("hand_Encoder.encoding_conv")
+    for k in range(8):
+        p, s = residual(f"hand_Encoder.reg.{k}", *RESIDUAL)
+        params[f"reg{k // 2}_{k % 2}"] = p
+        stats[f"reg{k // 2}_{k % 2}"] = s
+
+    d0 = lin("mano_regHead.mano_base_layer.0")
+    d0["kernel"] = _flatten_perm_linear(d0["kernel"], 256, 2, 2)
+    params["Dense_0"] = d0
+    params["Dense_1"] = lin("mano_regHead.mano_base_layer.2")
+    for name in ("pose_reg", "shape_reg", "cam_reg"):
+        params[name] = lin(f"mano_regHead.{name}")
+    return {"params": params, "batch_stats": stats}
+
+
+def _hocc_cv(sd, k):
+    out = {"kernel": _t2np(sd[k + ".weight"]).transpose(2, 3, 1, 0)}
+    if k + ".bias" in sd:
+        out["bias"] = _t2np(sd[k + ".bias"])
+    return out
+
+
+def _hocc_bn(sd, k):
+    return ({"scale": _t2np(sd[k + ".weight"]), "bias": _t2np(sd[k + ".bias"])},
+            {"mean": _t2np(sd[k + ".running_mean"]),
+             "var": _t2np(sd[k + ".running_var"])})
+
+
+def import_handoccnet_fpn(state_dict: Dict) -> Dict:
+    """HandOccNet FPN backbone (``backbone.py:11``: leaky ResNet-50
+    bottom-up, top-down laterals/smooths, SpatialGate split) -> Flax
+    ``handoccnet_light.FPN`` variables."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+    params["conv_stem"] = {
+        "kernel": _t2np(sd["layer0.0.weight"]).transpose(2, 3, 1, 0)}
+    params["bn_stem"], stats["bn_stem"] = _hocc_bn(sd, "layer0.1")
+    for i, blocks in {1: 3, 2: 4, 3: 6, 4: 3}.items():
+        for j in range(blocks):
+            src = f"layer{i}.0.{j}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for ci in range(3):
+                bp[f"Conv_{ci}"] = {"kernel": _t2np(
+                    sd[f"{src}.conv{ci + 1}.weight"]).transpose(2, 3, 1, 0)}
+                bp[f"bn{ci + 1}"], bs[f"bn{ci + 1}"] = _hocc_bn(
+                    sd, f"{src}.bn{ci + 1}")
+            if f"{src}.downsample.0.weight" in sd:
+                bp["Conv_3"] = {"kernel": _t2np(
+                    sd[f"{src}.downsample.0.weight"]).transpose(2, 3, 1, 0)}
+                bp["bn_skip"], bs["bn_skip"] = _hocc_bn(
+                    sd, f"{src}.downsample.1")
+            params[f"layer{i}_b{j}"] = bp
+            stats[f"layer{i}_b{j}"] = bs
+    for name in ("toplayer", "latlayer1", "latlayer2", "latlayer3",
+                 "smooth2", "smooth3"):
+        params[name] = _hocc_cv(sd, name)
+    params["gate"] = {
+        "spatial_conv": {"kernel": _t2np(
+            sd["attention_module.spatial.conv.weight"]).transpose(2, 3, 1, 0)},
+        "spatial_bn": {
+            "scale": _t2np(sd["attention_module.spatial.bn.weight"]),
+            "bias": _t2np(sd["attention_module.spatial.bn.bias"])},
+    }
+    stats["gate"] = {"spatial_bn": {
+        "mean": _t2np(sd["attention_module.spatial.bn.running_mean"]),
+        "var": _t2np(sd["attention_module.spatial.bn.running_var"])}}
+    return {"params": params, "batch_stats": stats}
+
+
+def import_handoccnet_transformer(state_dict: Dict, depth: int = 2,
+                                  injection: bool = True) -> Dict:
+    """HandOccNet FIT/SET gated-attention transformer (``transformer.py:7``)
+    -> Flax ``handoccnet_light.InjectionTransformer`` variables."""
+    sd = state_dict
+    p: Dict = {}
+    for i in range(depth):
+        pre = f"layers.{i}"
+        blk = {
+            "q_embedding": _t2np(sd[f"{pre}.q_embedding"]).transpose(0, 2, 3, 1),
+            "k_embedding": _t2np(sd[f"{pre}.k_embedding"]).transpose(0, 2, 3, 1),
+            "norm2": {"scale": _t2np(sd[f"{pre}.norm2.weight"]),
+                      "bias": _t2np(sd[f"{pre}.norm2.bias"])},
+            "Dense_0": {"kernel": _t2np(sd[f"{pre}.mlp.fc1.weight"]).T,
+                        "bias": _t2np(sd[f"{pre}.mlp.fc1.bias"])},
+            "Dense_1": {"kernel": _t2np(sd[f"{pre}.mlp.fc2.weight"]).T,
+                        "bias": _t2np(sd[f"{pre}.mlp.fc2.bias"])},
+        }
+        names = ["encode_value", "encode_query", "encode_key"]
+        if injection:
+            names += ["encode_query2", "encode_key2"]
+        for n in names:
+            blk[n] = _hocc_cv(sd, f"{pre}.{n}")
+        p[f"block{i}"] = blk
+    if injection:
+        p["conv1a"] = _hocc_cv(sd, "conv1.0")
+        p["conv1b"] = _hocc_cv(sd, "conv1.2")
+        p["conv2"] = _hocc_cv(sd, "conv2.0")
+    return {"params": p}
+
+
+def import_handoccnet(state_dict: Dict) -> Dict:
+    """Full HandOccNet checkpoint (``model.py:17``: backbone + FIT + SET +
+    regressor + optional KPE feat_mlp + optional grasp classifier) -> Flax
+    ``HandOccNetNet`` variables. MANO heads / renderer carry no learned
+    parameters on the conversion path and are skipped."""
+    sd = state_dict
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+
+    def lin(k):
+        return {"kernel": _t2np(sd[k + ".weight"]).T,
+                "bias": _t2np(sd[k + ".bias"])}
+
+    fpn = import_handoccnet_fpn(sub("backbone."))
+    reg = import_handoccnet_regressor(sub("regressor."))
+    params: Dict = {
+        "fpn": fpn["params"],
+        "fit": import_handoccnet_transformer(
+            sub("FIT."), injection=True)["params"],
+        "set": import_handoccnet_transformer(
+            sub("SET."), injection=False)["params"],
+        "regressor": reg["params"],
+    }
+    stats: Dict = {"fpn": fpn["batch_stats"],
+                   "regressor": reg["batch_stats"]}
+    if "kpe.feat_mlp.0.weight" in sd:
+        params["kpe_fc1"] = lin("kpe.feat_mlp.0")
+        params["kpe_fc2"] = lin("kpe.feat_mlp.2")
+    if "grasp_classifier.0.weight" in sd:
+        params["grasp_classifier"] = {
+            f"Dense_{i}": lin(f"grasp_classifier.{j}")
+            for i, j in enumerate((0, 2, 4, 6))
+        }
+    return {"params": params, "batch_stats": stats}

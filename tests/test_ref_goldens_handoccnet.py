@@ -29,34 +29,10 @@ def _t(x):
 
 
 def _convert_transformer(sd, depth, injection):
-    p = {}
-    for i in range(depth):
-        pre = f"layers.{i}"
-        blk = {
-            "q_embedding": _t(sd[f"{pre}.q_embedding"]).transpose(0, 2, 3, 1),
-            "k_embedding": _t(sd[f"{pre}.k_embedding"]).transpose(0, 2, 3, 1),
-            "norm2": {"scale": _t(sd[f"{pre}.norm2.weight"]),
-                      "bias": _t(sd[f"{pre}.norm2.bias"])},
-            "Dense_0": {"kernel": _lin(sd[f"{pre}.mlp.fc1.weight"]),
-                        "bias": _t(sd[f"{pre}.mlp.fc1.bias"])},
-            "Dense_1": {"kernel": _lin(sd[f"{pre}.mlp.fc2.weight"]),
-                        "bias": _t(sd[f"{pre}.mlp.fc2.bias"])},
-        }
-        names = ["encode_value", "encode_query", "encode_key"]
-        if injection:
-            names += ["encode_query2", "encode_key2"]
-        for n in names:
-            blk[n] = {"kernel": _conv(sd[f"{pre}.{n}.weight"]),
-                      "bias": _t(sd[f"{pre}.{n}.bias"])}
-        p[f"block{i}"] = blk
-    if injection:
-        p["conv1a"] = {"kernel": _conv(sd["conv1.0.weight"]),
-                       "bias": _t(sd["conv1.0.bias"])}
-        p["conv1b"] = {"kernel": _conv(sd["conv1.2.weight"]),
-                       "bias": _t(sd["conv1.2.bias"])}
-        p["conv2"] = {"kernel": _conv(sd["conv2.0.weight"]),
-                      "bias": _t(sd["conv2.0.bias"])}
-    return {"params": p}
+    from hands_tpu.utils import torch_import as ti
+
+    return ti.import_handoccnet_transformer(sd, depth=depth,
+                                            injection=injection)
 
 
 @pytest.mark.parametrize("injection", [True, False])
@@ -134,43 +110,9 @@ def _bn(sd, k):
 
 
 def _convert_fpn(sd):
-    """Reference FPN state_dict -> Flax handoccnet FPN variables."""
-    params = {}
-    stats = {}
-    params["conv_stem"] = {"kernel": _conv(sd["layer0.0.weight"])}
-    p, s = _bn(sd, "layer0.1")
-    params["bn_stem"], stats["bn_stem"] = p, s
-    stage_sizes = {1: 3, 2: 4, 3: 6, 4: 3}
-    for i, blocks in stage_sizes.items():
-        for j in range(blocks):
-            src = f"layer{i}.0.{j}"
-            bp, bs = {}, {}
-            for ci in range(3):
-                bp[f"Conv_{ci}"] = {
-                    "kernel": _conv(sd[f"{src}.conv{ci + 1}.weight"])}
-                p, s = _bn(sd, f"{src}.bn{ci + 1}")
-                bp[f"bn{ci + 1}"], bs[f"bn{ci + 1}"] = p, s
-            if f"{src}.downsample.0.weight" in sd:
-                bp["Conv_3"] = {
-                    "kernel": _conv(sd[f"{src}.downsample.0.weight"])}
-                p, s = _bn(sd, f"{src}.downsample.1")
-                bp["bn_skip"], bs["bn_skip"] = p, s
-            params[f"layer{i}_b{j}"] = bp
-            stats[f"layer{i}_b{j}"] = bs
-    for name in ("toplayer", "latlayer1", "latlayer2", "latlayer3",
-                 "smooth2", "smooth3"):
-        params[name] = {"kernel": _conv(sd[f"{name}.weight"]),
-                        "bias": _t(sd[f"{name}.bias"])}
-    params["gate"] = {
-        "spatial_conv": {"kernel": _conv(sd["attention_module.spatial.conv.weight"])},
-        "spatial_bn": {"scale": _t(sd["attention_module.spatial.bn.weight"]),
-                       "bias": _t(sd["attention_module.spatial.bn.bias"])},
-    }
-    stats["gate"] = {
-        "spatial_bn": {"mean": _t(sd["attention_module.spatial.bn.running_mean"]),
-                       "var": _t(sd["attention_module.spatial.bn.running_var"])},
-    }
-    return {"params": params, "batch_stats": stats}
+    from hands_tpu.utils import torch_import as ti
+
+    return ti.import_handoccnet_fpn(sd)
 
 
 def test_fpn_matches_reference():
@@ -204,3 +146,118 @@ def test_fpn_matches_reference():
         np.asarray(p), ref_p.numpy().transpose(0, 2, 3, 1), atol=2e-3)
     np.testing.assert_allclose(
         np.asarray(s), ref_s.numpy().transpose(0, 2, 3, 1), atol=2e-3)
+
+
+def test_regressor_matches_reference():
+    """The full regressor chain (hourglass hand_regHead + spatial softmax +
+    hand_Encoder + mano_regHead 6D decode) vs the reference's own
+    ``regressor.py`` with converted random weights."""
+    ref_mod = ref_compat.load("src.models.handoccnet_light.regressor")
+    torch.manual_seed(0)
+    tm = ref_mod.Regressor()
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+        tm.hand_regHead.betas.mul_(
+            torch.linspace(0.5, 2.0, 21).unsqueeze(-1))
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 256, 32, 32).astype(np.float32)
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        ref_out = tm(xt)
+        _, _, ref_preds = tm.hand_regHead(xt)
+
+    from hands_tpu.models.handoccnet_light import Regressor
+    from hands_tpu.utils.torch_import import import_handoccnet_regressor
+
+    fm = Regressor()
+    variables = import_handoccnet_regressor(tm.state_dict())
+    out = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                   train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out["joints2d_hm"]), ref_preds[-1].numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["shape"]), ref_out["mano_shape"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["cam_t.wp"]), ref_out["cam"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["pose"]), ref_out["mano_pose"].numpy(), atol=2e-3)
+
+
+def test_handoccnet_full_model_matches_reference():
+    """End-to-end: the reference HandOccNet (model.py:17 — 256-resize, batch
+    concat of r/l crops, KPE feat_mlp, FPN + FIT + SET + kpe residual,
+    regressor split, grasp classifier) with random converted weights vs
+    HandOccNetNet. MANO heads are stubbed to leak their pre-decode inputs."""
+    from tests.test_ref_goldens_hands_trunk import Args, _stub_blocked_modules
+
+    _stub_torchvision()
+    _stub_blocked_modules()
+    ref_model_mod = ref_compat.load("src.models.handoccnet_light.model")
+    real_fpn = ref_model_mod.FPN
+    args = Args(pos_enc="center+corner_latent", n_freq_pos_enc=4,
+                method="handoccnet_light", use_grasp_loss=True,
+                use_render_seg_loss=False)
+    torch.manual_seed(0)
+    ref_model_mod.FPN = lambda pretrained=True: real_fpn(pretrained=False)
+    try:
+        tm = ref_model_mod.HandOccNet(1000.0, 224, args)
+    finally:
+        ref_model_mod.FPN = real_fpn
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+    rng = np.random.RandomState(1)
+    B = 2
+    inputs_np = {
+        "r_img": rng.randn(B, 3, 224, 224).astype(np.float32),
+        "l_img": rng.randn(B, 3, 224, 224).astype(np.float32),
+        "r_center_angle": rng.randn(B, 2).astype(np.float32) * 0.2,
+        "l_center_angle": rng.randn(B, 2).astype(np.float32) * 0.2,
+        "r_corner_angle": rng.randn(B, 8).astype(np.float32) * 0.2,
+        "l_corner_angle": rng.randn(B, 8).astype(np.float32) * 0.2,
+    }
+    inputs_t = {k: torch.from_numpy(v) for k, v in inputs_np.items()}
+    K = torch.from_numpy(np.tile(
+        np.asarray([[1000.0, 0, 112], [0, 1000.0, 112], [0, 0, 1]],
+                   np.float32), (B, 1, 1)))
+    with torch.no_grad():
+        ref_out = tm(inputs_t, {"intrinsics": K})
+
+    from hands_tpu.config import default_config
+    from hands_tpu.models.handoccnet_light import HandOccNetNet
+    from hands_tpu.utils import torch_import as ti
+
+    cfg = default_config("handoccnet_light", compute_dtype="float32")
+    assert cfg.pos_enc == "center+corner_latent" and cfg.use_grasp_loss
+    net = HandOccNetNet(cfg)
+    variables = ti.import_handoccnet(tm.state_dict())
+    inputs_j = {
+        k: jnp.asarray(v.transpose(0, 2, 3, 1) if v.ndim == 4 else v)
+        for k, v in inputs_np.items()
+    }
+    out = net.apply(variables, inputs_j, train=False)
+
+    for side in ("r", "l"):
+        h = out[f"hmr_{side}"]
+        np.testing.assert_allclose(
+            np.asarray(h["shape"]),
+            ref_out[f"mano.shape_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(h["cam_t.wp"]),
+            ref_out[f"mano.cam_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(h["pose"]),
+            ref_out[f"mano.pose_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"grasp_{side}"]),
+            ref_out[f"grasp.{side}"].numpy(), atol=2e-2)
