@@ -74,18 +74,20 @@ class DepthHead(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, 7, 7, C)
         B, h, w, _ = x.shape
-        ys, xs = jnp.meshgrid(
+        # reference init_grid/broadcast (model.py:172-185): torch 'ij'
+        # meshgrid — x_grid varies along ROWS and is concatenated first
+        row_g, col_g = jnp.meshgrid(
             jnp.linspace(-1, 1, h), jnp.linspace(-1, 1, w), indexing="ij"
         )
         grid = jnp.broadcast_to(
-            jnp.stack([xs, ys], axis=-1)[None], (B, h, w, 2)
+            jnp.stack([row_g, col_g], axis=-1)[None], (B, h, w, 2)
         ).astype(x.dtype)
         x = jnp.concatenate([x, grid], axis=-1)
 
         def up(z, factor):
-            B_, H_, W_, C_ = z.shape
-            return jax.image.resize(z, (B_, H_ * factor, W_ * factor, C_),
-                                    "bilinear")
+            # nn.Upsample(..., align_corners=True) (model.py:140-150)
+            return kpe.resize_align_corners(
+                z, z.shape[1] * factor, z.shape[2] * factor)
 
         x = nn.relu(nn.Conv(256, (3, 3), dtype=self.dtype)(x))
         x = nn.relu(nn.Conv(256, (3, 3), dtype=self.dtype)(x))
@@ -232,24 +234,31 @@ class HandsLightNet(nn.Module):
             r_feat = latent_concat(r_feat, r_extra)
             l_feat = latent_concat(l_feat, l_extra)
         elif pe == "dense_latent":
-            r_dense = kpe.dense_pos_enc(
-                inputs["r_dense_angle"], inputs["r_dense_mask"], L, hf)
-            l_dense = kpe.dense_pos_enc(
-                inputs["l_dense_angle"], inputs["l_dense_mask"], L, hf)
+            # reference resizes native->img_res_ds inside the encoder, then
+            # img_res_ds->feature res (model.py:240-246) — replicate the
+            # double align_corners resize
+            r_dense = kpe.resize_align_corners(kpe.dense_pos_enc(
+                inputs["r_dense_angle"], inputs["r_dense_mask"], L,
+                cfg.img_res_ds), hf, wf)
+            l_dense = kpe.resize_align_corners(kpe.dense_pos_enc(
+                inputs["l_dense_angle"], inputs["l_dense_mask"], L,
+                cfg.img_res_ds), hf, wf)
             r_feat = latent_concat(r_feat, [r_dense])
             l_feat = latent_concat(l_feat, [l_dense])
         elif pe == "cam_conv":
             def cam_conv_enc(angle, mask):
                 enc = angle * mask[..., None]
-                Bc, Hc, Wc, Cc = enc.shape
-                return jax.image.resize(enc, (Bc, hf, wf, Cc), "bilinear")
+                enc = kpe.resize_align_corners(
+                    enc, cfg.img_res_ds, cfg.img_res_ds)
+                return kpe.resize_align_corners(enc, hf, wf)
             r_feat = latent_concat(r_feat, [cam_conv_enc(
                 inputs["r_dense_angle"], inputs["r_dense_mask"])])
             l_feat = latent_concat(l_feat, [cam_conv_enc(
                 inputs["l_dense_angle"], inputs["l_dense_mask"])])
-        elif cfg.use_glb_feat:
-            r_feat = r_feat + glb_feat_map
-            l_feat = l_feat + glb_feat_map
+        # NOTE: outside the latent-concat branches the reference never adds
+        # the global feature map to the crop features (model.py:240-307 —
+        # the add lives inside each latent branch only; input-concat and
+        # pos_enc=None trunks use the glb features solely for feat_vec)
 
         if cfg.use_depth_loss:
             depth_head = DepthHead(name="depth_head")

@@ -236,6 +236,14 @@ def import_hands_trunk(state_dict: Dict, backbone: str = "resnet18") -> Dict:
         return {"kernel": _linear(sd[f"{k}.weight"]),
                 "bias": _t2np(sd[f"{k}.bias"])}
 
+    def mha(s, pre):
+        return {
+            "in_proj_kernel": _linear(s[f"{pre}.in_proj_weight"]),
+            "in_proj_bias": _t2np(s[f"{pre}.in_proj_bias"]),
+            "out_proj": {"kernel": _linear(s[f"{pre}.out_proj.weight"]),
+                         "bias": _t2np(s[f"{pre}.out_proj.bias"])},
+        }
+
     def hand_hmr(prefix):
         s = sub(prefix)
         p: Dict = {}
@@ -243,22 +251,54 @@ def import_hands_trunk(state_dict: Dict, backbone: str = "resnet18") -> Dict:
             p[f"Dense_{i}"] = {"kernel": _linear(s[f"{src}.weight"]),
                                "bias": _t2np(s[f"{src}.bias"])}
         hl: Dict = {}
-        for dst, src in (("refine0", "hmr_layer.refine.0"),
-                         ("refine1", "hmr_layer.refine.3")):
-            hl[dst] = {"kernel": _linear(s[f"{src}.weight"]),
-                       "bias": _t2np(s[f"{src}.bias"])}
+        if f"{prefix}hmr_layer.feat_mlp.0.weight" in sd:
+            # tf_decoder head (hand_hmr.py:19-31 precursor + hmr_layer.py
+            # no_norm transformer): precursor Linear is the 4th Dense in
+            # instantiation order
+            p["Dense_3"] = {
+                "kernel": _linear(s["cam_init_precursor.0.weight"]),
+                "bias": _t2np(s["cam_init_precursor.0.bias"])}
+            for dst, src in (
+                    ("vector_mlp_dense", "hmr_layer.vector_mlp.0"),
+                    ("feat_mlp_dense", "hmr_layer.feat_mlp.0"),
+                    ("dec_linear1",
+                     "hmr_layer.refine_decoder.layers.0.linear1"),
+                    ("dec_linear2",
+                     "hmr_layer.refine_decoder.layers.0.linear2"),
+                    ("enc_linear1", "hmr_layer.self_attn.layers.0.linear1"),
+                    ("enc_linear2", "hmr_layer.self_attn.layers.0.linear2")):
+                hl[dst] = {"kernel": _linear(s[f"{src}.weight"]),
+                           "bias": _t2np(s[f"{src}.bias"])}
+            hl["dec_self_attn"] = mha(
+                s, "hmr_layer.refine_decoder.layers.0.self_attn")
+            hl["dec_cross_attn"] = mha(
+                s, "hmr_layer.refine_decoder.layers.0.multihead_attn")
+            hl["enc_self_attn"] = mha(s, "hmr_layer.self_attn.layers.0.self_attn")
+            layer_name = "tf_hmr_layer"
+        else:
+            for dst, src in (("refine0", "hmr_layer.refine.0"),
+                             ("refine1", "hmr_layer.refine.3")):
+                hl[dst] = {"kernel": _linear(s[f"{src}.weight"]),
+                           "bias": _t2np(s[f"{src}.bias"])}
+            layer_name = "hmr_layer"
         for key, src in (("dec_pose_6d", "hmr_layer.decoders.pose_6d"),
                          ("dec_cam_t_wp", "hmr_layer.decoders.cam_t/wp"),
                          ("dec_shape", "hmr_layer.decoders.shape")):
             hl[key] = {"kernel": _linear(s[f"{src}.weight"]),
                        "bias": _t2np(s[f"{src}.bias"])}
-        p["hmr_layer"] = hl
+        p[layer_name] = hl
         return p
 
-    fc_lin = _linear(sd["feature_conv.7.weight"])
     params: Dict = {
         "hand_backbone": None,  # filled below
-        "feature_conv": {
+        "head_r": hand_hmr("head_r."),
+        "head_l": hand_hmr("head_l."),
+    }
+    if "head_r.hmr_layer.feat_mlp.0.weight" not in sd:
+        # tf_decoder trunks construct feature_conv but never call it
+        # (model.py:312-321); our tf model has no such module
+        fc_lin = _linear(sd["feature_conv.7.weight"])
+        params["feature_conv"] = {
             "Conv_0": {"kernel": _conv(sd["feature_conv.0.weight"])},
             "Conv_1": {"kernel": _conv(sd["feature_conv.2.weight"])},
             "Conv_2": {"kernel": _conv(sd["feature_conv.4.weight"])},
@@ -266,14 +306,20 @@ def import_hands_trunk(state_dict: Dict, backbone: str = "resnet18") -> Dict:
                 "kernel": _flatten_perm_linear(fc_lin, 256, 3, 3),
                 "bias": _t2np(sd["feature_conv.7.bias"]),
             },
-        },
-        "head_r": hand_hmr("head_r."),
-        "head_l": hand_hmr("head_l."),
-    }
+        }
     batch_stats: Dict = {}
-    hand = import_resnet(sub("hand_backbone."), stage_sizes=stages)
-    params["hand_backbone"] = hand["params"]
-    batch_stats["hand_backbone"] = hand["batch_stats"]
+    if any(k.startswith("hand_backbone_r.") for k in sd):
+        # separate_hands=True builds per-side backbones (model.py:69-73)
+        del params["hand_backbone"]
+        for side in ("r", "l"):
+            bb = import_resnet(sub(f"hand_backbone_{side}."),
+                               stage_sizes=stages)
+            params[f"backbone_{side}"] = bb["params"]
+            batch_stats[f"backbone_{side}"] = bb["batch_stats"]
+    else:
+        hand = import_resnet(sub("hand_backbone."), stage_sizes=stages)
+        params["hand_backbone"] = hand["params"]
+        batch_stats["hand_backbone"] = hand["batch_stats"]
     if any(k.startswith("backbone.") for k in sd):
         glb = import_resnet(sub("backbone."), stage_sizes=stages)
         params["glb_backbone"] = glb["params"]
@@ -283,6 +329,18 @@ def import_hands_trunk(state_dict: Dict, backbone: str = "resnet18") -> Dict:
             f"Dense_{i}": lin(f"grasp_classifier.{j}")
             for i, j in enumerate((0, 2, 4, 6))
         }
+    if any(k.startswith("depth_mlp.") for k in sd):
+        # shared depth decoder (model.py:132-154): conv indices skip the
+        # ReLU/Upsample entries of the Sequential
+        params["depth_head"] = {
+            f"Conv_{i}": {"kernel": _conv(sd[f"depth_mlp.{j}.weight"]),
+                          "bias": _t2np(sd[f"depth_mlp.{j}.bias"])}
+            for i, j in enumerate((0, 2, 5, 7, 10, 12, 15, 17))
+        }
+    for head in ("center_head", "corner_head"):
+        if any(k.startswith(f"{head}.") for k in sd):
+            params[head] = {f"Dense_{i}": lin(f"{head}.{j}")
+                            for i, j in enumerate((0, 2, 4))}
     return {"params": params, "batch_stats": batch_stats}
 
 

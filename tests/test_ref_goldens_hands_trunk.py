@@ -162,3 +162,271 @@ def test_hands_trunk_matches_reference(glb_w_grasp):
         np.testing.assert_allclose(
             np.asarray(out[f"grasp_{side}"]),
             ref_out[f"grasp.{side}"].numpy(), atol=5e-3)
+
+
+def test_hands_trunk_tf_decoder_matches_reference():
+    """The tf_decoder trunk variant: spatial features + KPE skip
+    feature_conv and feed the transformer refinement heads directly with
+    use_pool=False (model.py:312-321); import_hands_trunk auto-detects the
+    tf head weights."""
+    _stub_blocked_modules()
+    ref_model_mod = ref_compat.load("src.models.hands_light.model")
+    args = Args(
+        backbone="resnet18", pos_enc="center+corner_latent",
+        n_freq_pos_enc=4, separate_hands=False, tf_decoder=True,
+        use_glb_feat=True, use_grasp_loss=True,
+        use_glb_feat_w_grasp=False, use_render_seg_loss=False,
+        use_depth_loss=False, no_crops=False, regress_center_corner=False,
+        img_res=224, focal_length=1000.0,
+    )
+    torch.manual_seed(3)
+    tm = ref_model_mod.HandsLight("resnet18", 1000.0, 224, args)
+    tm.eval()
+
+    rng = np.random.RandomState(4)
+    B = 2
+    inputs_t = {
+        "img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "l_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "l_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "r_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+        "l_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+    }
+    K = torch.from_numpy(
+        np.tile(np.asarray([[1000.0, 0, 112], [0, 1000.0, 112], [0, 0, 1]],
+                           np.float32), (B, 1, 1)))
+    with torch.no_grad():
+        ref_out = tm(inputs_t, {"intrinsics": K, "is_flipped": torch.zeros(B)})
+
+    from hands_tpu.models.hands_light import HandsLightNet
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        tf_decoder=True, use_glb_feat=True, use_grasp_loss=True,
+        use_glb_feat_w_grasp=False, use_render_seg_loss=False,
+        use_depth_loss=False,
+    )
+    net = HandsLightNet(cfg)
+    variables = ti.import_hands_trunk(tm.state_dict(), backbone="resnet18")
+    inputs_j = {
+        k: jnp.asarray(v.numpy().transpose(0, 2, 3, 1)
+                       if v.ndim == 4 else v.numpy())
+        for k, v in inputs_t.items()
+    }
+    out = net.apply(variables, inputs_j, train=False)
+
+    for side in ("r", "l"):
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["pose"]),
+            ref_out[f"mano.pose_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["shape"]),
+            ref_out[f"mano.shape_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["cam_t.wp"]),
+            ref_out[f"mano.cam_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"grasp_{side}"]),
+            ref_out[f"grasp.{side}"].numpy(), atol=5e-3)
+
+
+@pytest.mark.parametrize("pos_enc", [
+    "center", "corner", "center+corner", "dense",
+    "sinusoidal_cc", "dense_latent", "cam_conv",
+])
+def test_hands_trunk_pos_enc_modes_match_reference(pos_enc):
+    """Every other KPE mode vs the reference: input-concat variants rebuild
+    conv1 with extra encoding channels (model.py:60-78), latent variants
+    concat at the feature map (model.py:240-307) — incl. the dim-3
+    sin/cos interleave of dense encodings (model.py:444-453) and the
+    align_corners=True double resize (model.py:240-246, 481)."""
+    _stub_blocked_modules()
+    ref_model_mod = ref_compat.load("src.models.hands_light.model")
+    args = Args(
+        backbone="resnet18", pos_enc=pos_enc, n_freq_pos_enc=4,
+        separate_hands=False, tf_decoder=False, use_glb_feat=True,
+        use_grasp_loss=False, use_glb_feat_w_grasp=False,
+        use_render_seg_loss=False, use_depth_loss=False, no_crops=False,
+        regress_center_corner=False, img_res=224, img_res_ds=224,
+        focal_length=1000.0,
+    )
+    torch.manual_seed(5)
+    tm = ref_model_mod.HandsLight("resnet18", 1000.0, 224, args)
+    tm.eval()
+
+    rng = np.random.RandomState(6)
+    B = 2
+    dense_c = 6 if pos_enc == "cam_conv" else 2
+    inputs_t = {
+        "img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "l_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "l_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "r_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+        "l_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+        "r_dense_angle": torch.from_numpy(
+            rng.randn(B, dense_c, 28, 28).astype(np.float32) * 0.2),
+        "l_dense_angle": torch.from_numpy(
+            rng.randn(B, dense_c, 28, 28).astype(np.float32) * 0.2),
+        "r_dense_mask": torch.from_numpy(
+            (rng.rand(B, 28, 28) > 0.2).astype(np.float32)),
+        "l_dense_mask": torch.from_numpy(
+            (rng.rand(B, 28, 28) > 0.2).astype(np.float32)),
+    }
+    K = torch.from_numpy(
+        np.tile(np.asarray([[1000.0, 0, 112], [0, 1000.0, 112], [0, 0, 1]],
+                           np.float32), (B, 1, 1)))
+    with torch.no_grad():
+        ref_out = tm(inputs_t, {"intrinsics": K, "is_flipped": torch.zeros(B)})
+
+    from hands_tpu.models.hands_light import HandsLightNet
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        pos_enc=pos_enc, img_res_ds=224, use_glb_feat=True,
+        use_grasp_loss=False, use_glb_feat_w_grasp=False,
+        use_render_seg_loss=False, use_depth_loss=False,
+    )
+    net = HandsLightNet(cfg)
+    variables = ti.import_hands_trunk(tm.state_dict(), backbone="resnet18")
+
+    def to_j(v):
+        a = v.numpy()
+        if a.ndim == 4:
+            a = a.transpose(0, 2, 3, 1)
+        return jnp.asarray(a)
+
+    inputs_j = {k: to_j(v) for k, v in inputs_t.items()}
+    out = net.apply(variables, inputs_j, train=False)
+
+    for side in ("r", "l"):
+        for key, ref_key in (("pose", "pose_raw"), ("shape", "shape_raw"),
+                             ("cam_t.wp", "cam_raw")):
+            np.testing.assert_allclose(
+                np.asarray(out[f"hmr_{side}"][key]),
+                ref_out[f"mano.{ref_key}.{side}"].numpy(), atol=5e-3,
+                err_msg=f"{pos_enc} {side} {key}")
+
+
+def test_hands_trunk_aux_heads_match_reference():
+    """Depth decoder (coord-grid broadcast + align_corners upsamples,
+    model.py:132-154/436-442) and center/corner regression heads
+    (model.py:161-175) vs the reference, converted via import_hands_trunk."""
+    _stub_blocked_modules()
+    ref_model_mod = ref_compat.load("src.models.hands_light.model")
+    args = Args(
+        backbone="resnet18", pos_enc="center+corner_latent",
+        n_freq_pos_enc=4, separate_hands=False, tf_decoder=False,
+        use_glb_feat=True, use_grasp_loss=False, use_glb_feat_w_grasp=False,
+        use_render_seg_loss=False, use_depth_loss=True, no_crops=False,
+        regress_center_corner=True, img_res=224, focal_length=1000.0,
+    )
+    torch.manual_seed(7)
+    tm = ref_model_mod.HandsLight("resnet18", 1000.0, 224, args)
+    tm.eval()
+
+    rng = np.random.RandomState(8)
+    B = 2
+    inputs_t = {
+        "img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "l_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "l_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "r_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+        "l_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+    }
+    K = torch.from_numpy(
+        np.tile(np.asarray([[1000.0, 0, 112], [0, 1000.0, 112], [0, 0, 1]],
+                           np.float32), (B, 1, 1)))
+    with torch.no_grad():
+        ref_out = tm(inputs_t, {"intrinsics": K, "is_flipped": torch.zeros(B)})
+
+    from hands_tpu.models.hands_light import HandsLightNet
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        use_glb_feat=True, use_grasp_loss=False, use_glb_feat_w_grasp=False,
+        use_render_seg_loss=False, use_depth_loss=True,
+        regress_center_corner=True,
+    )
+    net = HandsLightNet(cfg)
+    variables = ti.import_hands_trunk(tm.state_dict(), backbone="resnet18")
+    inputs_j = {
+        k: jnp.asarray(v.numpy().transpose(0, 2, 3, 1)
+                       if v.ndim == 4 else v.numpy())
+        for k, v in inputs_t.items()
+    }
+    out = net.apply(variables, inputs_j, train=False)
+
+    for side in ("r", "l"):
+        np.testing.assert_allclose(
+            np.asarray(out[f"depth_{side}"]),
+            ref_out[f"depth.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"center_{side}"]),
+            ref_out[f"center.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"corner_{side}"]),
+            ref_out[f"corner.{side}"].numpy(), atol=5e-3)
+
+
+def test_hands_trunk_separate_hands_matches_reference():
+    """separate_hands=True: per-side crop backbones (model.py:69-78),
+    auto-detected by import_hands_trunk."""
+    _stub_blocked_modules()
+    ref_model_mod = ref_compat.load("src.models.hands_light.model")
+    args = Args(
+        backbone="resnet18", pos_enc="center+corner_latent",
+        n_freq_pos_enc=4, separate_hands=True, tf_decoder=False,
+        use_glb_feat=True, use_grasp_loss=False, use_glb_feat_w_grasp=False,
+        use_render_seg_loss=False, use_depth_loss=False, no_crops=False,
+        regress_center_corner=False, img_res=224, focal_length=1000.0,
+    )
+    torch.manual_seed(9)
+    tm = ref_model_mod.HandsLight("resnet18", 1000.0, 224, args)
+    tm.eval()
+
+    rng = np.random.RandomState(10)
+    B = 2
+    inputs_t = {
+        "img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "l_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "l_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "r_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+        "l_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+    }
+    K = torch.from_numpy(
+        np.tile(np.asarray([[1000.0, 0, 112], [0, 1000.0, 112], [0, 0, 1]],
+                           np.float32), (B, 1, 1)))
+    with torch.no_grad():
+        ref_out = tm(inputs_t, {"intrinsics": K, "is_flipped": torch.zeros(B)})
+
+    from hands_tpu.models.hands_light import HandsLightNet
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        separate_hands=True, use_glb_feat=True, use_grasp_loss=False,
+        use_glb_feat_w_grasp=False, use_render_seg_loss=False,
+        use_depth_loss=False,
+    )
+    net = HandsLightNet(cfg)
+    variables = ti.import_hands_trunk(tm.state_dict(), backbone="resnet18")
+    inputs_j = {
+        k: jnp.asarray(v.numpy().transpose(0, 2, 3, 1)
+                       if v.ndim == 4 else v.numpy())
+        for k, v in inputs_t.items()
+    }
+    out = net.apply(variables, inputs_j, train=False)
+    for side in ("r", "l"):
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["pose"]),
+            ref_out[f"mano.pose_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["cam_t.wp"]),
+            ref_out[f"mano.cam_raw.{side}"].numpy(), atol=5e-3)
