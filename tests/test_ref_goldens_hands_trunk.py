@@ -430,3 +430,56 @@ def test_hands_trunk_separate_hands_matches_reference():
         np.testing.assert_allclose(
             np.asarray(out[f"hmr_{side}"]["cam_t.wp"]),
             ref_out[f"mano.cam_raw.{side}"].numpy(), atol=5e-3)
+
+
+def test_hands_trunk_no_crops_matches_reference():
+    """no_crops=True (the arctic_sf_light shape): heads consume the
+    avg-pooled GLOBAL features, use_pool=True (model.py:199-201, 316-318)."""
+    _stub_blocked_modules()
+    ref_model_mod = ref_compat.load("src.models.hands_light.model")
+    args = Args(
+        backbone="resnet18", pos_enc=None, n_freq_pos_enc=4,
+        separate_hands=False, tf_decoder=False, use_glb_feat=True,
+        use_grasp_loss=True, use_glb_feat_w_grasp=False,
+        use_render_seg_loss=False, use_depth_loss=False, no_crops=True,
+        regress_center_corner=False, img_res=224, focal_length=1000.0,
+    )
+    torch.manual_seed(11)
+    tm = ref_model_mod.HandsLight("resnet18", 1000.0, 224, args)
+    tm.eval()
+
+    rng = np.random.RandomState(12)
+    B = 2
+    inputs_t = {
+        "img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+    }
+    K = torch.from_numpy(
+        np.tile(np.asarray([[1000.0, 0, 112], [0, 1000.0, 112], [0, 0, 1]],
+                           np.float32), (B, 1, 1)))
+    with torch.no_grad():
+        ref_out = tm(inputs_t, {"intrinsics": K, "is_flipped": torch.zeros(B)})
+
+    from hands_tpu.models.hands_light import HandsLightNet
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        pos_enc=None, no_crops=True, use_glb_feat=True, use_grasp_loss=True,
+        use_glb_feat_w_grasp=False, use_render_seg_loss=False,
+        use_depth_loss=False,
+    )
+    net = HandsLightNet(cfg)
+    variables = ti.import_hands_trunk(tm.state_dict(), backbone="resnet18")
+    inputs_j = {"img": jnp.asarray(
+        inputs_t["img"].numpy().transpose(0, 2, 3, 1))}
+    out = net.apply(variables, inputs_j, train=False)
+
+    for side in ("r", "l"):
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["pose"]),
+            ref_out[f"mano.pose_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"hmr_{side}"]["cam_t.wp"]),
+            ref_out[f"mano.cam_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[f"grasp_{side}"]),
+            ref_out[f"grasp.{side}"].numpy(), atol=5e-3)
