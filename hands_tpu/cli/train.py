@@ -16,12 +16,11 @@ def main(argv=None):
     from hands_tpu.config import construct_args
 
     cfg = construct_args(argv)
-    if cfg.debug:
-        # surface the first NaN with a traceback (the jit-compatible
-        # replacement for the reference's per-forward xdict.has_invalid)
-        import jax
-
-        jax.config.update("jax_debug_nans", True)
+    # NOTE: --debug must NOT enable jax_debug_nans — the data schema carries
+    # NaN BY DESIGN (meta ``dist`` for non-ego records, NaN-masked metric
+    # arrays mirroring the reference's np.nanmean semantics), so a global
+    # NaN trap fires on healthy batches. The trainer instead asserts the
+    # LOSS is finite every step (the reference's xdict.has_invalid analog).
     if cfg.debug or cfg.fast_dev_run:
         # synthetic data path: no downloads needed (mirrors --debug minitrain)
         cfg = cfg.replace(dataset="synthetic", val_dataset="synthetic",

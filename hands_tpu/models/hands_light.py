@@ -346,6 +346,37 @@ def _apply_flip_swap(hmr_r, hmr_l, is_flipped):
     return out_r, out_l
 
 
+def postprocess_hmr(cfg, inputs, meta_info, hmr_r, hmr_l):
+    """Per-sample head-output fixes, in the reference's exact order
+    (model.py:330-376): pcl virtual-camera rot fix, flip swap, then the
+    perspective-correction global-orient rotation (which operates on the
+    POST-flip poses)."""
+    hmr_r, hmr_l = dict(hmr_r), dict(hmr_l)
+
+    # PCL: the crops were resampled by a virtual camera; map the predicted
+    # global orient back with R_virt2orig (reference model.py:330-334)
+    if cfg.pos_enc == "pcl":
+        for hmr, key in ((hmr_r, "r_rot"), (hmr_l, "l_rot")):
+            R = inputs[key]
+            hmr["pose"] = hmr["pose"].at[:, 0].set(R @ hmr["pose"][:, 0])
+
+    is_flipped = meta_info.get("is_flipped")
+    if is_flipped is not None:
+        hmr_r, hmr_l = _apply_flip_swap(hmr_r, hmr_l, is_flipped)
+
+    if cfg.pos_enc == "perspective_correction":
+        from hands_tpu.core.rot import euler_angles_to_matrix
+
+        for hmr, key in ((hmr_r, "r_center_angle"),
+                         (hmr_l, "l_center_angle")):
+            ang = inputs[key]
+            euler = jnp.concatenate(
+                [-ang, jnp.zeros_like(ang[:, :1])], axis=-1)
+            R = euler_angles_to_matrix(euler, "XYZ")
+            hmr["pose"] = hmr["pose"].at[:, 0].set(R @ hmr["pose"][:, 0])
+    return hmr_r, hmr_l
+
+
 class HandsLightModel:
     """Bound WildHands model: net params + MANO decode.
 
@@ -374,31 +405,8 @@ class HandsLightModel:
         else:
             new_model_state = None
 
-        hmr_r, hmr_l = net_out["hmr_r"], net_out["hmr_l"]
-
-        # PCL: the crops were resampled by a virtual camera; map the predicted
-        # global orient back with R_virt2orig (reference model.py:330-334)
-        if cfg.pos_enc == "pcl":
-            for hmr, key in ((hmr_r, "r_rot"), (hmr_l, "l_rot")):
-                R = inputs[key]
-                hmr["pose"] = hmr["pose"].at[:, 0].set(R @ hmr["pose"][:, 0])
-        # perspective correction: rotate global orient by the crop's ray
-        # angles (reference model.py:370-376)
-        elif cfg.pos_enc == "perspective_correction":
-            from hands_tpu.core.rot import euler_angles_to_matrix
-
-            for hmr, key in ((hmr_r, "r_center_angle"),
-                             (hmr_l, "l_center_angle")):
-                ang = inputs[key]
-                euler = jnp.concatenate(
-                    [-ang, jnp.zeros_like(ang[:, :1])], axis=-1)
-                R = euler_angles_to_matrix(euler, "XYZ")
-                hmr["pose"] = hmr["pose"].at[:, 0].set(R @ hmr["pose"][:, 0])
-
-        is_flipped = meta_info.get("is_flipped")
-        if is_flipped is not None:
-            hmr_r, hmr_l = _apply_flip_swap(hmr_r, hmr_l, is_flipped)
-
+        hmr_r, hmr_l = postprocess_hmr(
+            cfg, inputs, meta_info, net_out["hmr_r"], net_out["hmr_l"])
         K = meta_info["intrinsics"]
         mano_out_r = mano_head(
             self.mano_r, hmr_r["pose"], hmr_r["shape"], hmr_r["cam_t.wp"], K,

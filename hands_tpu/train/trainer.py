@@ -89,6 +89,12 @@ class Trainer:
                 global_step += 1
                 for k, v in logs.items():
                     window[k].append(float(v))
+                if cfg.debug and not np.isfinite(window["loss"][-1]):
+                    # xdict.has_invalid analog (hmr_layer.py:85): fail fast
+                    # in --debug; NaN-masked metric arrays are exempt by
+                    # construction (only the scalar loss is checked)
+                    raise FloatingPointError(
+                        f"non-finite loss at step {global_step}")
                 if global_step % cfg.log_every == 0:
                     means = {k: float(np.mean(v)) for k, v in window.items()}
                     self.exp.log_dict(means, global_step, postfix="__train")

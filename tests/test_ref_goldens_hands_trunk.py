@@ -483,3 +483,85 @@ def test_hands_trunk_no_crops_matches_reference():
         np.testing.assert_allclose(
             np.asarray(out[f"grasp_{side}"]),
             ref_out[f"grasp.{side}"].numpy(), atol=5e-3)
+
+
+@pytest.mark.parametrize("pos_enc", [None, "pcl", "perspective_correction"])
+def test_hands_trunk_postprocess_flip_matches_reference(pos_enc):
+    """The post-head fixes in the reference's exact order (model.py:330-376):
+    pcl virtual-camera rot fix, the axis-angle flip swap (is_flipped mixed
+    across the batch), then the perspective-correction global-orient
+    rotation on the POST-flip poses."""
+    _stub_blocked_modules()
+    ref_model_mod = ref_compat.load("src.models.hands_light.model")
+    args = Args(
+        backbone="resnet18", pos_enc=pos_enc, n_freq_pos_enc=4,
+        separate_hands=False, tf_decoder=False, use_glb_feat=False,
+        use_grasp_loss=False, use_glb_feat_w_grasp=False,
+        use_render_seg_loss=False, use_depth_loss=False, no_crops=False,
+        regress_center_corner=False, img_res=224, focal_length=1000.0,
+    )
+    torch.manual_seed(13)
+    tm = ref_model_mod.HandsLight("resnet18", 1000.0, 224, args)
+    tm.eval()
+
+    rng = np.random.RandomState(14)
+    B = 2
+    from hands_tpu.core import rot as rotlib
+
+    rots_r = np.asarray(rotlib.axis_angle_to_matrix(
+        jnp.asarray(rng.randn(B, 3) * 0.3)))
+    rots_l = np.asarray(rotlib.axis_angle_to_matrix(
+        jnp.asarray(rng.randn(B, 3) * 0.3)))
+    inputs_t = {
+        "img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "l_img": torch.from_numpy(rng.randn(B, 3, 224, 224).astype(np.float32)),
+        "r_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "l_center_angle": torch.from_numpy(rng.randn(B, 2).astype(np.float32) * 0.2),
+        "r_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+        "l_corner_angle": torch.from_numpy(rng.randn(B, 8).astype(np.float32) * 0.2),
+        "r_rot": torch.from_numpy(rots_r.astype(np.float32)),
+        "l_rot": torch.from_numpy(rots_l.astype(np.float32)),
+    }
+    K = torch.from_numpy(
+        np.tile(np.asarray([[1000.0, 0, 112], [0, 1000.0, 112], [0, 0, 1]],
+                           np.float32), (B, 1, 1)))
+    is_flipped = torch.tensor([1.0, 0.0])
+    with torch.no_grad():
+        ref_out = tm(inputs_t, {"intrinsics": K, "is_flipped": is_flipped})
+
+    from hands_tpu.models.hands_light import HandsLightNet, postprocess_hmr
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        pos_enc=pos_enc, use_glb_feat=False, use_grasp_loss=False,
+        use_glb_feat_w_grasp=False, use_render_seg_loss=False,
+        use_depth_loss=False,
+    )
+    net = HandsLightNet(cfg)
+    variables = ti.import_hands_trunk(tm.state_dict(), backbone="resnet18")
+
+    def to_j(v):
+        a = v.numpy()
+        return jnp.asarray(a.transpose(0, 2, 3, 1) if a.ndim == 4 else a)
+
+    inputs_j = {k: to_j(v) for k, v in inputs_t.items()}
+    meta_j = {"is_flipped": jnp.asarray([1.0, 0.0])}
+    out = net.apply(variables, inputs_j, train=False)
+    hmr_r, hmr_l = postprocess_hmr(
+        cfg, inputs_j, meta_j, out["hmr_r"], out["hmr_l"])
+
+    for side, hmr in (("r", hmr_r), ("l", hmr_l)):
+        np.testing.assert_allclose(
+            np.asarray(hmr["pose"]),
+            ref_out[f"mano.pose_raw.{side}"].numpy(), atol=5e-3,
+            err_msg=f"{pos_enc} {side} pose")
+        np.testing.assert_allclose(
+            np.asarray(hmr["cam_t.wp"]),
+            ref_out[f"mano.cam_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(hmr["shape"]),
+            ref_out[f"mano.shape_raw.{side}"].numpy(), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(hmr["cam_t.wp.init"]),
+            ref_out[f"mano.cam_t.wp.init.{side}"].numpy(), atol=5e-3)

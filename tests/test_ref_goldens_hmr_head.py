@@ -56,10 +56,40 @@ def _stub_pytorch3d():
         b3 = torch.cross(b1, b2, dim=-1)
         return torch.stack((b1, b2, b3), dim=-2)
 
+    def matrix_to_axis_angle(R):
+        tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+        cos = torch.clamp((tr - 1) / 2, -1.0, 1.0)
+        angle = torch.acos(cos)
+        axis = torch.stack([
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ], dim=-1)
+        s = torch.clamp(2 * torch.sin(angle), min=1e-9)
+        return axis / s[..., None] * angle[..., None]
+
+    def _axis_rot(axis, angle):
+        c, s = torch.cos(angle), torch.sin(angle)
+        one, zero = torch.ones_like(angle), torch.zeros_like(angle)
+        if axis == "X":
+            flat = (one, zero, zero, zero, c, -s, zero, s, c)
+        elif axis == "Y":
+            flat = (c, zero, s, zero, one, zero, -s, zero, c)
+        else:
+            flat = (c, -s, zero, s, c, zero, zero, zero, one)
+        return torch.stack(flat, -1).reshape(angle.shape + (3, 3))
+
+    def euler_angles_to_matrix(euler_angles, convention):
+        mats = [_axis_rot(c, e) for c, e in
+                zip(convention, torch.unbind(euler_angles, -1))]
+        return torch.matmul(torch.matmul(mats[0], mats[1]), mats[2])
+
     mod = types.ModuleType("pytorch3d.transforms.rotation_conversions")
     mod.axis_angle_to_matrix = axis_angle_to_matrix
     mod.matrix_to_rotation_6d = matrix_to_rotation_6d
     mod.rotation_6d_to_matrix = rotation_6d_to_matrix
+    mod.matrix_to_axis_angle = matrix_to_axis_angle
+    mod.euler_angles_to_matrix = euler_angles_to_matrix
     pkg = types.ModuleType("pytorch3d")
     tfm = types.ModuleType("pytorch3d.transforms")
     tfm.rotation_conversions = mod
