@@ -312,11 +312,26 @@ class DevicePreprocessor:
             inputs["r_rot"] = r_rot
             inputs["l_rot"] = l_rot
         if cfg.pos_enc is not None:
-            inputs["r_center_angle"] = pp.kpe_center_angles(r_bbox, K_patch)
-            inputs["l_center_angle"] = pp.kpe_center_angles(l_bbox, K_patch)
-            inputs["r_corner_angle"] = pp.kpe_corner_angles(r_bbox, K_patch)
-            inputs["l_corner_angle"] = pp.kpe_corner_angles(l_bbox, K_patch)
-            if "dense" in (cfg.pos_enc or "") or "cam_conv" in (cfg.pos_enc or ""):
+            if cfg.pos_enc == "sinusoidal_cc":
+                # normalised crop coords, NOT intrinsics rays
+                # (hands_light_dataset.py:335-352)
+                inputs["r_center_angle"] = pp.kpe_center_coords(r_bbox, res)
+                inputs["l_center_angle"] = pp.kpe_center_coords(l_bbox, res)
+                inputs["r_corner_angle"] = pp.kpe_corner_coords(r_bbox, res)
+                inputs["l_corner_angle"] = pp.kpe_corner_coords(l_bbox, res)
+            else:
+                inputs["r_center_angle"] = pp.kpe_center_angles(r_bbox, K_patch)
+                inputs["l_center_angle"] = pp.kpe_center_angles(l_bbox, K_patch)
+                inputs["r_corner_angle"] = pp.kpe_corner_angles(r_bbox, K_patch)
+                inputs["l_corner_angle"] = pp.kpe_corner_angles(l_bbox, K_patch)
+            if "cam_conv" in (cfg.pos_enc or ""):
+                # 6-channel dense: rays + pixel offsets + centred coords
+                # (hands_light_dataset.py:302-333)
+                ra, rm = pp.kpe_camconv_dense(r_bbox, K_patch, res)
+                la, lm = pp.kpe_camconv_dense(l_bbox, K_patch, res)
+                inputs["r_dense_angle"], inputs["r_dense_mask"] = ra, rm
+                inputs["l_dense_angle"], inputs["l_dense_mask"] = la, lm
+            elif "dense" in (cfg.pos_enc or ""):
                 ra, rm = pp.kpe_dense_angles(r_bbox, K_patch, res)
                 la, lm = pp.kpe_dense_angles(l_bbox, K_patch, res)
                 inputs["r_dense_angle"], inputs["r_dense_mask"] = ra, rm
@@ -352,6 +367,14 @@ class DevicePreprocessor:
             "joints_valid_r": batch["joints_valid_r"],
             "joints_valid_l": batch["joints_valid_l"],
         })
+        if cfg.pos_enc is not None:
+            # GT for the optional center/corner regression heads — the
+            # reference mirrors the input encodings into targets
+            # (hands_light_dataset.py:268, 280, 341-352)
+            targets["center.r"] = inputs["r_center_angle"]
+            targets["center.l"] = inputs["l_center_angle"]
+            targets["corner.r"] = inputs["r_corner_angle"]
+            targets["corner.l"] = inputs["l_corner_angle"]
         if "joints3d_valid_r" in batch:
             targets["joints3d_valid_r"] = batch["joints3d_valid_r"]
             targets["joints3d_valid_l"] = batch["joints3d_valid_l"]

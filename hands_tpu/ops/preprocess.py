@@ -759,3 +759,49 @@ def pcl_crop(
 
 def to_homo2d(xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
+
+
+def kpe_center_coords(bbox_xyxy: jnp.ndarray, img_res: int) -> jnp.ndarray:
+    """sinusoidal_cc center "angles": normalised crop coords
+    ``2*c/img_res - 1`` (hands_light_dataset.py:337-341)."""
+    center = (bbox_xyxy[:, :2] + bbox_xyxy[:, 2:]) / 2.0
+    return 2.0 * center / img_res - 1.0
+
+
+def kpe_corner_coords(bbox_xyxy: jnp.ndarray, img_res: int) -> jnp.ndarray:
+    """sinusoidal_cc corner "angles": (B, 8) normalised crop coords,
+    corner-major [x, y] pairs (hands_light_dataset.py:344-352)."""
+    x0, y0, x1, y1 = (bbox_xyxy[:, i] for i in range(4))
+    corners = jnp.stack(
+        [
+            jnp.stack([x0, y0], -1), jnp.stack([x0, y1], -1),
+            jnp.stack([x1, y0], -1), jnp.stack([x1, y1], -1),
+        ],
+        axis=1,
+    )  # (B, 4, 2)
+    return (2.0 * corners / img_res - 1.0).reshape(-1, 8)
+
+
+def kpe_camconv_dense(
+    bbox_xyxy: jnp.ndarray, K: jnp.ndarray, img_res: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cam_conv 6-channel dense encoding (hands_light_dataset.py:302-333):
+    per-pixel [ray angle x/y, pixel offset from principal point x/y,
+    centred coord x/y]. Same fixed-lattice reformulation as
+    :func:`kpe_dense_angles` (static shapes, mask all-ones). Returns
+    (B, H, W, 6) NHWC + mask (B, H, W)."""
+    B = bbox_xyxy.shape[0]
+    t = jnp.linspace(0.0, 1.0, img_res)
+    x0, y0, x1, y1 = (bbox_xyxy[:, i] for i in range(4))
+    gx = x0[:, None] + (x1 - x0)[:, None] * t[None, :]  # (B, W)
+    gy = y0[:, None] + (y1 - y0)[:, None] * t[None, :]  # (B, H)
+    gx = jnp.broadcast_to(gx[:, None, :], (B, img_res, img_res))
+    gy = jnp.broadcast_to(gy[:, :, None], (B, img_res, img_res))
+    dx = gx - K[:, 0, 2, None, None]
+    dy = gy - K[:, 1, 2, None, None]
+    ax = jnp.arctan2(dx, K[:, 0, 0, None, None])
+    ay = jnp.arctan2(dy, K[:, 1, 1, None, None])
+    cxn = 2.0 * gx / img_res - 1.0
+    cyn = 2.0 * gy / img_res - 1.0
+    enc = jnp.stack([ax, ay, dx, dy, cxn, cyn], axis=-1)
+    return enc, jnp.ones((B, img_res, img_res), jnp.float32)

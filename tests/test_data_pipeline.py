@@ -262,3 +262,57 @@ def test_loader_epochs_vary_but_runs_reproduce():
     for a, b in zip(e1_1, e1_3):
         np.testing.assert_array_equal(np.asarray(a[0]["img"]),
                                       np.asarray(b[0]["img"]))
+
+
+def test_sinusoidal_cc_and_cam_conv_pipeline_modes():
+    """sinusoidal_cc produces normalised-coordinate 'angles' (2c/res - 1,
+    dataset:335-352); cam_conv produces the 6-channel dense encoding
+    (rays + pixel offsets + centred coords, dataset:302-333); both mirror
+    the encodings into targets center./corner.* for the optional
+    regression heads."""
+    import jax.numpy as jnp
+
+    cfg = cfg_small().replace(pos_enc="sinusoidal_cc")
+    ds = SyntheticRecordDataset(cfg, "train", length=2)
+    stacked = stack_records([ds[i] for i in range(2)])
+    pre = DevicePreprocessor(cfg, is_train=False)
+    inputs, targets, meta = pre(stacked, jax.random.PRNGKey(0))
+
+    res = cfg.img_res_ds
+    bb = np.asarray(inputs["r_bbox"])
+    expect_center = 2.0 * (bb[:, :2] + bb[:, 2:]) / 2.0 / res - 1.0
+    np.testing.assert_allclose(np.asarray(inputs["r_center_angle"]),
+                               expect_center, atol=1e-5)
+    assert inputs["r_corner_angle"].shape == (2, 8)
+    # coords live in [-1, 1] + margin; rays would be sub-radian values with
+    # a different distribution — check the corner values reconstruct bbox
+    corners = (np.asarray(inputs["r_corner_angle"]).reshape(2, 4, 2) + 1) \
+        * res / 2.0
+    np.testing.assert_allclose(corners[:, 0], bb[:, :2], atol=1e-4)
+    np.testing.assert_allclose(corners[:, 3], bb[:, 2:], atol=1e-4)
+    for k in ("center.r", "center.l", "corner.r", "corner.l"):
+        assert k in targets
+
+    cfg2 = cfg_small().replace(pos_enc="cam_conv")
+    pre2 = DevicePreprocessor(cfg2, is_train=False)
+    inputs2, targets2, _ = pre2(stacked, jax.random.PRNGKey(0))
+    d = np.asarray(inputs2["r_dense_angle"])
+    assert d.shape == (2, res, res, 6)
+    K = np.asarray(inputs2["K"]) if "K" in inputs2 else np.asarray(
+        _[0] if isinstance(_, tuple) else _["intrinsics"])
+    # channel consistency: ch0 = arctan2(ch2, fx), ch4 = 2*gx/res - 1 where
+    # gx = ch2 + cx
+    fx = K[:, 0, 0][:, None, None]
+    cx = K[:, 0, 2][:, None, None]
+    np.testing.assert_allclose(d[..., 0], np.arctan2(d[..., 2], fx),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        d[..., 4], 2.0 * (d[..., 2] + cx) / res - 1.0, atol=1e-4)
+
+    # e2e: the trunk consumes the cam_conv latent concat
+    from hands_tpu.models.hands_light import HandsLightNet
+
+    net = HandsLightNet(cfg2.replace(compute_dtype="float32"))
+    variables = net.init(jax.random.PRNGKey(0), inputs2, train=False)
+    out = net.apply(variables, inputs2, train=False)
+    assert np.isfinite(np.asarray(out["hmr_r"]["pose"])).all()
