@@ -122,6 +122,13 @@ class DevicePreprocessor:
         self._fn = jax.jit(functools.partial(self._process))
 
     def _process(self, batch: dict, key: jax.Array):
+        # GT geometry (crop transforms, K adjustment, j2d/j3d rotation)
+        # must be exact — pin f32 matmuls; TPU's bf16 MXU default would
+        # round GT joints/coordinates at the ~1e-3 level
+        with jax.default_matmul_precision("float32"):
+            return self._process_inner(batch, key)
+
+    def _process_inner(self, batch: dict, key: jax.Array):
         cfg = self.cfg
         B = batch["image"].shape[0]
         res = cfg.img_res

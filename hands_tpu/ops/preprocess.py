@@ -711,10 +711,13 @@ def warp_homography(images: jnp.ndarray, P: jnp.ndarray, out_res: int,
     vs, us = jnp.meshgrid(t, t, indexing="ij")
     grid = jnp.stack([us, vs, jnp.ones_like(us)], -1).reshape(-1, 3)  # (P, 3)
     src = jnp.einsum("bij,pj->bpi", P, grid)
+    # the -0.5 matches torch grid_sample(align_corners=False) pixel-EDGE
+    # normalisation: a projected pixel coordinate p samples source texel
+    # p - 0.5 (reference pcl branch, hands_light_dataset.py:417-421, 458)
     sx = src[..., 0] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * jnp.sign(
-        src[..., 2] + 1e-12)
+        src[..., 2] + 1e-12) - 0.5
     sy = src[..., 1] / jnp.maximum(jnp.abs(src[..., 2]), 1e-8) * jnp.sign(
-        src[..., 2] + 1e-12)
+        src[..., 2] + 1e-12) - 0.5
 
     def sample_one(img, sx, sy):
         x0 = jnp.floor(sx).astype(jnp.int32)
@@ -743,17 +746,20 @@ def pcl_crop(
     hand's ray, build the homography P = K_c @ R_virt2orig @ K_virt^-1 and
     sample. Returns (crops (B, out_res, out_res, C), R_virt2orig (B, 3, 3))
     — the model must rotate its predicted global orient by R."""
-    center = (bbox_xyxy[:, :2] + bbox_xyxy[:, 2:]) / 2.0
-    wh = jnp.maximum(bbox_xyxy[:, 2:] - bbox_xyxy[:, :2], 1.0)
-    size = jnp.maximum(wh[:, 0], wh[:, 1])
-    bbox_wh = jnp.stack([size, size], -1)
+    # geometry matmuls must be f32 on TPU — bf16 MXU default rounds the
+    # sampling coordinates by ~half a pixel
+    with jax.default_matmul_precision("float32"):
+        center = (bbox_xyxy[:, :2] + bbox_xyxy[:, 2:]) / 2.0
+        wh = jnp.maximum(bbox_xyxy[:, 2:] - bbox_xyxy[:, :2], 1.0)
+        size = jnp.maximum(wh[:, 0], wh[:, 1])
+        bbox_wh = jnp.stack([size, size], -1)
 
-    K_inv = jnp.linalg.inv(K)
-    pos = jnp.einsum("bij,bj->bi", K_inv, to_homo2d(center))
-    R = _pcl_rotation_from_position(pos)
-    Kv = _pcl_virtual_intrinsics(pos, K, bbox_wh)
-    P = K @ R @ jnp.linalg.inv(Kv)
-    crops = warp_homography(images, P, out_res)
+        K_inv = jnp.linalg.inv(K)
+        pos = jnp.einsum("bij,bj->bi", K_inv, to_homo2d(center))
+        R = _pcl_rotation_from_position(pos)
+        Kv = _pcl_virtual_intrinsics(pos, K, bbox_wh)
+        P = K @ R @ jnp.linalg.inv(Kv)
+        crops = warp_homography(images, P, out_res)
     return crops, R
 
 
