@@ -8,12 +8,26 @@ crop-adjusted intrinsics). Everything is batched and jit-safe.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-9
 
 
 # ---------------------------------------------------------- wp <-> perspective
+def _f32_matmuls(fn):
+    """Pin f32 matmul precision: geometry must not round through the TPU's
+    bf16 MXU default (coordinates/rotations lose ~3 decimal digits)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def perspective_to_weak_perspective(
     cam_t: jnp.ndarray, focal_length: jnp.ndarray, img_res: float
 ) -> jnp.ndarray:
@@ -40,6 +54,7 @@ def weak_perspective_to_perspective(
 
 
 # ------------------------------------------------------------------ projection
+@_f32_matmuls
 def project2d(K: jnp.ndarray, pts3d: jnp.ndarray) -> jnp.ndarray:
     """Perspective projection: K (B, 3, 3) x points (B, N, 3) -> pixels (B, N, 2)."""
     proj = jnp.einsum("bij,bnj->bni", K, pts3d)
@@ -111,6 +126,7 @@ def get_coord_maps(size: int = 56) -> jnp.ndarray:
     return jnp.stack([xx, yy], axis=-1)[None]
 
 
+@_f32_matmuls
 def look_at(eye: jnp.ndarray, at=None, up=None, eps: float = 1e-5) -> jnp.ndarray:
     """Camera rotation(s) looking from ``eye`` (B, 3) at ``at``; columns are
     the camera x/y/z axes (reference camera.py:291)."""
@@ -146,6 +162,7 @@ def sample_pose_on_sphere(key, radius: float = 1.0, up=(0.0, 1.0, 0.0)):
     return jnp.concatenate([R, loc.reshape(3, 1)], axis=1)
 
 
+@_f32_matmuls
 def rectify_pose(camera_r: jnp.ndarray, body_aa: jnp.ndarray,
                  rotate_x: bool = False) -> jnp.ndarray:
     """Compose a camera rotation into axis-angle global orientations
@@ -160,6 +177,7 @@ def rectify_pose(camera_r: jnp.ndarray, body_aa: jnp.ndarray,
 
 
 # ------------------------------------------------------- DLT translation solve
+@_f32_matmuls
 def estimate_translation(
     S: jnp.ndarray,
     joints_2d: jnp.ndarray,
@@ -205,6 +223,7 @@ def estimate_translation(
     )[..., 0]
 
 
+@_f32_matmuls
 def estimate_translation_k(
     S: jnp.ndarray,
     joints_2d: jnp.ndarray,

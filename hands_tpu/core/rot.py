@@ -19,6 +19,19 @@ _EPS = 1e-8
 
 
 # --------------------------------------------------------------------- helpers
+def _f32_matmuls(fn):
+    """Pin f32 matmul precision: geometry must not round through the TPU's
+    bf16 MXU default (coordinates/rotations lose ~3 decimal digits)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
     """sqrt(max(0, x)) with a zero subgradient at x <= 0.
 
@@ -250,6 +263,7 @@ def quaternion_apply(quat: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
 
 
 # -------------------------------------------------------------------- euler
+@_f32_matmuls
 def euler_angles_to_matrix(euler: jnp.ndarray, convention: str = "XYZ") -> jnp.ndarray:
     """Euler angles (..., 3) -> rotation matrix, extrinsic composition R = Rx@Ry@Rz
     for convention 'XYZ' (matches pytorch3d ``euler_angles_to_matrix``)."""
@@ -274,6 +288,7 @@ def euler_angles_to_matrix(euler: jnp.ndarray, convention: str = "XYZ") -> jnp.n
 
 
 # ------------------------------------------------------------------- utilities
+@_f32_matmuls
 def rot_aa(aa: jnp.ndarray, rot_deg: jnp.ndarray) -> jnp.ndarray:
     """Rotate an axis-angle global orientation by `rot_deg` degrees about the
     camera z-axis (augmentation semantics of ``common/data_utils.py:rot_aa``)."""

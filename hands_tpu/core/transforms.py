@@ -9,12 +9,26 @@ distortion used for ARCTIC egocentric cameras.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-9
 
 
 # -------------------------------------------------------------- homogeneous
+def _f32_matmuls(fn):
+    """Pin f32 matmul precision: geometry must not round through the TPU's
+    bf16 MXU default (coordinates/rotations lose ~3 decimal digits)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def to_homo(pts: jnp.ndarray) -> jnp.ndarray:
     """(..., N, 3) -> (..., N, 4) with a trailing 1."""
     return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
@@ -25,6 +39,7 @@ def to_xyz(pts_homo: jnp.ndarray) -> jnp.ndarray:
     return pts_homo[..., :3] / jnp.maximum(pts_homo[..., 3:4], _EPS)
 
 
+@_f32_matmuls
 def transform_points(world2cam: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply 4x4 transforms (..., 4, 4) to points (..., N, 3) -> (..., N, 3)."""
     homo = to_homo(pts)
@@ -32,11 +47,13 @@ def transform_points(world2cam: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return to_xyz(out)
 
 
+@_f32_matmuls
 def rigid_tf(points: jnp.ndarray, R: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     """Q = R @ p + T, batched. points (B, N, 3), R (B, 3, 3), T (B, 3, 1)."""
     return jnp.einsum("bij,bnj->bni", R, points) + T[..., 0][:, None, :]
 
 
+@_f32_matmuls
 def project2d(K: jnp.ndarray, pts_cam: jnp.ndarray) -> jnp.ndarray:
     """K (B, 3, 3), camera-space points (B, N, 3) -> pixels (B, N, 2)."""
     proj = jnp.einsum("bij,bnj->bni", K, pts_cam)
@@ -44,6 +61,7 @@ def project2d(K: jnp.ndarray, pts_cam: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------- rigid solve
+@_f32_matmuls
 def solve_rigid_tf(A: jnp.ndarray, B: jnp.ndarray):
     """Least-squares rigid transform (Arun 1987), batched on device.
 
@@ -69,6 +87,7 @@ def solve_rigid_tf(A: jnp.ndarray, B: jnp.ndarray):
 
 
 # ----------------------------------------------------------------- distortion
+@_f32_matmuls
 def distort_pts3d(pts_cam: jnp.ndarray, dist_coeffs: jnp.ndarray) -> jnp.ndarray:
     """Map undistorted camera-space points to distorted camera space so a
     linear K-projection lands on observed pixels.
