@@ -201,12 +201,38 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="hands_light",
-                   choices=["hands_light", "hamer_vith", "handoccnet",
-                            "mano", "preprocess", "pipeline_io"])
+    p.add_argument("--model", default="headline",
+                   choices=["headline", "hands_light", "hamer_vith",
+                            "handoccnet", "mano", "preprocess",
+                            "pipeline_io"])
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_workers", type=int, default=16)
     args = p.parse_args()
+
+    if args.model == "headline":
+        # VERDICT r2 #7: carry BOTH honest numbers — the BASELINE.json metric
+        # model (ViT-H bs256) and the flagship WildHands pipeline — each
+        # scored against the same 5k crops/s/chip target. The WildHands line
+        # prints last (the headline).
+        vith = bench_model("hamer_vith", 256)
+        print(json.dumps({
+            "metric": "hamer_vith bs256 inference crops/sec/chip "
+                      "(fused on-device preprocessing; BASELINE.json metric "
+                      "model — v5e roofline for ViT-H is ~795 crops/s, see "
+                      "BENCH_NOTES.md)",
+            "value": round(float(vith), 1),
+            "unit": "crops/sec",
+            "vs_baseline": round(float(vith) / BASELINE, 3),
+        }), flush=True)
+        wild = bench_model("hands_light", 64)
+        print(json.dumps({
+            "metric": "hands_light bs64 inference crops/sec/chip "
+                      "(fused on-device preprocessing)",
+            "value": round(float(wild), 1),
+            "unit": "crops/sec",
+            "vs_baseline": round(float(wild) / BASELINE, 3),
+        }))
+        return
 
     if args.model == "mano":
         value = bench_mano()

@@ -10,8 +10,11 @@ reference's per-batch torch loop. The split builder concatenates per-seq
 outputs into ``splits/{setup}_{split}.npy``.
 
 Notes vs the reference:
-- SMPL-X body FK is out of scope for the light models (their labels never
-  consume body joints; SURVEY §2.3) and is omitted — documented divergence.
+- SMPL-X body FK runs when the sequence ships ``smplx.npy`` params
+  (``preprocess_dataset.py:125-139``), via ``ops/smplx_body.py`` — the
+  reference's own path is unrunnable as shipped (``processing.py:438``
+  calls ``human_models.build_subject_smplx``, defined nowhere in the
+  snapshot; see ops/smplx_body.py docstring).
 - Distortion uses the same 8-coefficient rational+tangential model
   (``hands_tpu.core.transforms.distort_pts3d``).
 """
@@ -36,14 +39,36 @@ EGO_IMAGE_SIZE = (2800, 2000)  # (w, h), processing.py:66-68,364
 
 
 # ------------------------------------------------------------------ world FK
-def forward_gt_world(params: Dict[str, jnp.ndarray], obj_name: str):
-    """World-frame FK for both hands + the object.
+def forward_gt_world(params: Dict[str, jnp.ndarray], obj_name: str,
+                     smplx_params: Dict[str, jnp.ndarray] | None = None):
+    """World-frame FK for both hands + the object (+ the SMPL-X body when
+    its param bundle is supplied — reference ``forward_gt_world``,
+    processing.py:173-235, runs all three).
 
     params: rot_r/pose_r/trans_r/shape_r (and _l), obj_arti/obj_rot/obj_trans,
     all (T, ...) over the sequence (the raw ARCTIC ``mano.npy``/``obj.npy``
-    layout, preprocess_dataset.py:77).
+    layout, preprocess_dataset.py:77). smplx_params: the ``smplx.npy`` dict
+    (transl/global_orient/body_pose/jaw_pose/leye_pose/reye_pose/
+    left_hand_pose/right_hand_pose, preprocess_dataset.py:125-139).
     """
     out = {}
+    if smplx_params is not None:
+        from hands_tpu.ops import smplx_body
+
+        body = smplx_body.load_body_model()
+        bo = smplx_body.body_forward(
+            body,
+            global_orient=smplx_params["global_orient"],
+            body_pose=smplx_params["body_pose"],
+            jaw_pose=smplx_params["jaw_pose"],
+            leye_pose=smplx_params["leye_pose"],
+            reye_pose=smplx_params["reye_pose"],
+            left_hand_pose=smplx_params["left_hand_pose"],
+            right_hand_pose=smplx_params["right_hand_pose"],
+            transl=smplx_params["transl"],
+        )
+        out["verts.smplx"] = bo.vertices
+        out["joints.smplx"] = bo.joints
     for side, name in (("r", "right"), ("l", "left")):
         model = manolib.load_mano(side == "r")
         mo = manolib.mano_forward(
@@ -194,10 +219,16 @@ def process_seq(seq_dir: str, out_dir: str, export_verts: bool = False,
     (processing.py:408 / preprocess_dataset.construct_loader)."""
     mano_p = os.path.join(seq_dir, "mano.npy")
     obj_p = os.path.join(seq_dir, "obj.npy")
+    smplx_p = os.path.join(seq_dir, "smplx.npy")
     if not (os.path.exists(mano_p) and os.path.exists(obj_p)):
         raise FileNotFoundError(f"raw ARCTIC sequence not found at {seq_dir}")
     mano_data = np.load(mano_p, allow_pickle=True).item()
     obj_data = np.load(obj_p, allow_pickle=True)
+    smplx_params = None
+    if os.path.exists(smplx_p):
+        smplx_raw = np.load(smplx_p, allow_pickle=True).item()
+        smplx_params = {k: jnp.asarray(np.asarray(v, np.float32))
+                        for k, v in smplx_raw.items()}
 
     seq_name = os.path.basename(seq_dir)
     obj_name = seq_name.split("_")[0]
@@ -228,7 +259,7 @@ def process_seq(seq_dir: str, out_dir: str, export_verts: bool = False,
     intris = jnp.asarray(misc["intris_mat"])  # (V, 3, 3)
     dist = jnp.asarray(misc.get("dist8", np.zeros(8)))
 
-    out_world = forward_gt_world(params, obj_name)
+    out_world = forward_gt_world(params, obj_name, smplx_params=smplx_params)
     views = forward_world2cam(out_world, world2cam)
     out2d = forward_project2d(views, intris, ego_dist_coeffs=dist)
     bbox = forward_define_bbox(out2d)
@@ -244,10 +275,9 @@ def process_seq(seq_dir: str, out_dir: str, export_verts: bool = False,
         "bbox": np.asarray(bbox),
         **{k: np.asarray(v) for k, v in valid.items()},
         "cam_coord": {
-            "joints.right": np.asarray(
-                jnp.stack([v["joints.right"] for v in views], axis=1)),
-            "joints.left": np.asarray(
-                jnp.stack([v["joints.left"] for v in views], axis=1)),
+            key: np.asarray(jnp.stack([v[key] for v in views], axis=1))
+            for key in (["joints.right", "joints.left"] +
+                        (["joints.smplx"] if smplx_params is not None else []))
         },
     }
     os.makedirs(out_dir, exist_ok=True)

@@ -3,9 +3,45 @@ train/val loader construction, seeding."""
 
 from __future__ import annotations
 
+import numpy as np
+
 from hands_tpu.config import Config
 from hands_tpu.data.datasets import fetch_dataset
 from hands_tpu.data.device_pipeline import DeviceDataLoader, PrefetchLoader
+
+# meta keys carried as python lists, not arrays (reference
+# ``src/factory.py:110-114``)
+_LIST_KEYS = ("imgname", "query_names")
+
+
+def collate_windowed(data_list):
+    """Temporal-window concat collate (reference ``collate_custom_fn``,
+    ``src/factory.py:77-116``): each sample is an (inputs, targets,
+    meta_info) triple whose tensors already carry a leading window axis;
+    samples are CONCATENATED along axis 0 (window frames become batch rows),
+    except list-valued meta keys (imgname/query_names) which are summed.
+
+    The temporal path is vestigial in the reference — ``temp_loader: False``
+    (``src/parsers/configs/generic.py:18``) disables it for every shipped
+    config — but the collate contract is kept so windowed datasets can be
+    plugged in without touching the loader.
+    """
+    def cat(vals, key=None, listlike=False):
+        if listlike:
+            return sum((list(v) for v in vals), [])
+        return np.concatenate([np.asarray(v) for v in vals], axis=0)
+
+    outs = []
+    for part_idx in range(3):
+        keys = data_list[0][part_idx].keys()
+        is_meta = part_idx == 2
+        out = {
+            k: cat([d[part_idx][k] for d in data_list],
+                   listlike=is_meta and k in _LIST_KEYS)
+            for k in keys
+        }
+        outs.append(out)
+    return tuple(outs)
 
 
 def fetch_dataloader(cfg: Config, mode: str):

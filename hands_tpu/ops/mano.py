@@ -141,15 +141,56 @@ def _synthetic_model(is_rhand: bool) -> ManoModel:
     )
 
 
-def _from_mano_pkl(path: str, is_rhand: bool) -> ManoModel:
-    """Load a real MANO pickle (chumpy-serialised, as shipped by MPI)."""
+class _ChumpyShim:
+    """Stand-in for ``chumpy.Ch`` when unpickling MANO assets.
+
+    The MPI-shipped pkls serialise v_template/shapedirs/posedirs/hands_mean
+    as chumpy arrays; unpickling them normally requires chumpy to be
+    installed (the reference gets it transitively via smplx,
+    common/body_models.py:90-92). A chumpy ``Ch`` pickles as its attribute
+    dict with the backing numpy array under ``'x'``; this shim accepts that
+    state (and reduce-call forms) and reproduces the ``.r`` accessor, so the
+    licensed files load with no chumpy dependency."""
+
+    def __init__(self, *args, **kwargs):
+        for a in args:
+            if isinstance(a, np.ndarray):
+                self.__dict__["x"] = a
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["x"] = state
+
+    @property
+    def r(self):
+        x = self.__dict__.get("x")
+        if x is None:
+            raise ValueError("chumpy-pickled field carries no 'x' array; "
+                             f"state keys: {sorted(self.__dict__)}")
+        return np.asarray(getattr(x, "r", x))
+
+
+def _mano_pickle_load(f):
     import pickle
 
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".")[0] == "chumpy":
+                return _ChumpyShim
+            return super().find_class(module, name)
+
+    return _Unpickler(f, encoding="latin1").load()
+
+
+def _from_mano_pkl(path: str, is_rhand: bool) -> ManoModel:
+    """Load a real MANO pickle (chumpy-serialised, as shipped by MPI)."""
     with open(path, "rb") as f:
-        data = pickle.load(f, encoding="latin1")
+        data = _mano_pickle_load(f)
 
     def _np(x):
-        # chumpy arrays expose .r; scipy sparse expose .todense
+        # chumpy arrays (or the shim) expose .r; scipy sparse expose .todense
         if hasattr(x, "r"):
             return np.asarray(x.r)
         if hasattr(x, "todense"):

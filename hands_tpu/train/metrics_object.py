@@ -128,23 +128,96 @@ def compute_error_accel(joints_gt, joints_pred, fps: float = 30.0):
     return jnp.linalg.norm(acc_pred - acc_gt, axis=2).mean(axis=1)
 
 
+def _acc_window_valid(valid):
+    """acc at step t needs frames {t-1, t, t+1} valid (eval_modules.py:584-590,
+    the np.convolve(ones(3))==3 window). (T,) -> (T-2,) bool."""
+    return (valid[:-2] * valid[1:-1] * valid[2:]) > 0
+
+
+def _nan_pad_ends(x):
+    """Reference pads one NaN at each sequence end so the metric array length
+    equals num_frames (eval_modules.py:601-612)."""
+    pad = jnp.full((1,), _NAN, x.dtype)
+    return jnp.concatenate([pad, x, pad])
+
+
 def eval_acc_pose(pred, targets, meta_info, fps: float = 30.0) -> XDict:
-    """Per-sequence acceleration error over hand + object vertices; frames
-    adjacent to invalid ones are NaN'd (eval_modules.py:537-620)."""
+    """Per-sequence acceleration error over ROOT-ALIGNED hand + object
+    vertices (eval_modules.py:537-622): hand root = joint 0, object root =
+    mean of bottom-part (part id 2) vertices; frames adjacent to invalid
+    ones are NaN'd; m/s^2."""
     out = XDict()
     is_valid = targets["is_valid"]
+    right_valid = targets["right_valid"] * is_valid
+    left_valid = targets["left_valid"] * is_valid
+    mask = meta_info["object.v.mask"]
+    bottom = (meta_info["part_ids"] == 2) * mask
 
-    def seq_err(gt, pr):
+    def obj_root(v):
+        w = bottom / jnp.maximum(bottom.sum(axis=1, keepdims=True), 1)
+        return jnp.einsum("bv,bvc->bc", w, v)[:, None]
+
+    def ra(d, key, root_key):
+        if root_key == "object":
+            return d[key] - obj_root(d[key])
+        return d[key] - d[root_key][:, :1]
+
+    def seq_err(key, root_key, valid):
+        gt = ra(targets, key, root_key)
+        pr = ra(pred, key, root_key)
         e = compute_error_accel(gt, pr, fps)
-        v = is_valid[:-2] * is_valid[1:-1] * is_valid[2:]
-        e = jnp.where(v > 0, e, _NAN)
-        return jnp.concatenate([jnp.full((1,), _NAN), e, jnp.full((1,), _NAN)])
+        return jnp.where(_acc_window_valid(valid), e, _NAN)
 
-    err_r = seq_err(targets["mano.v3d.cam.r"], pred["mano.v3d.cam.r"])
-    err_l = seq_err(targets["mano.v3d.cam.l"], pred["mano.v3d.cam.l"])
-    err_o = seq_err(targets["object.v.cam"], pred["object.v.cam"])
-    out["acc_err/h"] = _nanmean(jnp.stack([err_r, err_l], 1), axis=1) * 1.0
-    out["acc_err/o"] = err_o
+    acc_r = seq_err("mano.v3d.cam.r", "mano.j3d.cam.r", right_valid)
+    acc_l = seq_err("mano.v3d.cam.l", "mano.j3d.cam.l", left_valid)
+    acc_o = seq_err("object.v.cam", "object", is_valid)
+    out["acc/h"] = _nan_pad_ends(_nanmean(jnp.stack([acc_r, acc_l], 1), axis=1))
+    # reference quirk kept for parity: acc/o is never padded back to
+    # num_frames (eval_modules.py:601-622 pads acc_r/l/h only)
+    out["acc/o"] = acc_o
+    return out
+
+
+def eval_acc_field(pred, targets, meta_info, fps: float = 30.0) -> XDict:
+    """Acceleration error of the hand<->object distance fields
+    (eval_modules.py:625-706): central-difference acceleration of each
+    per-vertex scalar field, |pred - gt| averaged over vertices, hand->object
+    legs validity-windowed by the matching hand, object->hand legs by
+    is_valid; hand/object legs nanmean'd pairwise; NaN end padding."""
+    is_valid = targets["is_valid"]
+    right_valid = targets["right_valid"] * is_valid
+    left_valid = targets["left_valid"] * is_valid
+    obj_mask = meta_info["object.v.mask"] if meta_info is not None else None
+
+    h = 1.0 / fps
+
+    def field_acc_err(gt, pr, vmask=None):
+        a_gt = (gt[:-2] - 2 * gt[1:-1] + gt[2:]) / h**2
+        a_pr = (pr[:-2] - 2 * pr[1:-1] + pr[2:]) / h**2
+        e = jnp.abs(a_pr - a_gt)  # (T-2, V)
+        if vmask is not None:
+            # padded object vertices drop out of the vertex mean (the
+            # reference slices pred to the GT's num_verts instead,
+            # eval_modules.py:638-642)
+            e = jnp.where(vmask[1:-1] > 0, e, _NAN)
+            return _nanmean(e, axis=1)
+        return e.mean(axis=1)
+
+    acc_ro = field_acc_err(targets["dist.ro"], pred["dist.ro"])
+    acc_lo = field_acc_err(targets["dist.lo"], pred["dist.lo"])
+    acc_or = field_acc_err(targets["dist.or"], pred["dist.or"], obj_mask)
+    acc_ol = field_acc_err(targets["dist.ol"], pred["dist.ol"], obj_mask)
+
+    acc_ro = jnp.where(_acc_window_valid(right_valid), acc_ro, _NAN)
+    acc_lo = jnp.where(_acc_window_valid(left_valid), acc_lo, _NAN)
+    acc_or = jnp.where(_acc_window_valid(is_valid), acc_or, _NAN)
+    acc_ol = jnp.where(_acc_window_valid(is_valid), acc_ol, _NAN)
+
+    out = XDict()
+    out["acc/ho"] = _nan_pad_ends(
+        _nanmean(jnp.stack([acc_ro, acc_lo], 1), axis=1))
+    out["acc/oh"] = _nan_pad_ends(
+        _nanmean(jnp.stack([acc_or, acc_ol], 1), axis=1))
     return out
 
 
@@ -287,4 +360,5 @@ object_eval_fn_dict = {
     "cdev": eval_contact_deviation,
     "avg_err_field": eval_field_errors,
     "acc_err_pose": eval_acc_pose,
+    "acc_err_field": eval_acc_field,
 }

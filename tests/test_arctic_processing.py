@@ -48,6 +48,34 @@ def _fake_seq(tmp_path, T=6):
     return str(seq)
 
 
+def _add_smplx(seq_dir, T=6):
+    rng = np.random.RandomState(4)
+    f = lambda n: rng.randn(T, n).astype(np.float32) * 0.1
+    smplx = {
+        "transl": f(3), "global_orient": f(3), "body_pose": f(63),
+        "jaw_pose": f(3), "leye_pose": f(3), "reye_pose": f(3),
+        "left_hand_pose": f(45), "right_hand_pose": f(45),
+    }
+    np.save(os.path.join(seq_dir, "smplx.npy"), smplx)
+
+
+def test_process_seq_with_smplx_body(tmp_path):
+    """With smplx.npy present the GT build runs the SMPL-X body FK too and
+    the npy carries the full reference key set (processing.py:173-235:
+    MANO + SMPL-X + object)."""
+    seq_dir = _fake_seq(tmp_path)
+    _add_smplx(seq_dir)
+    out_p = ap.process_seq(seq_dir, str(tmp_path / "processed"))
+    data = np.load(out_p, allow_pickle=True).item()
+    T, V = 6, 3
+    from hands_tpu.ops import smplx_body as sb
+    assert data["2d"]["joints.smplx"].shape == (T, V, sb.NUM_JOINTS, 2)
+    assert data["cam_coord"]["joints.smplx"].shape == (T, V, sb.NUM_JOINTS, 3)
+    assert np.isfinite(data["2d"]["joints.smplx"]).all()
+    # verts.smplx excluded from the 2d export unless export_verts
+    assert "verts.smplx" not in data["2d"]
+
+
 def test_process_seq_and_split(tmp_path):
     seq_dir = _fake_seq(tmp_path)
     out_p = ap.process_seq(seq_dir, str(tmp_path / "processed"))
