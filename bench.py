@@ -62,6 +62,9 @@ def bench_model(method: str, batch_size: int, vit_variant: str = "h",
         method if method != "hamer_vith" else "hamer_light",
         compute_dtype="bfloat16", use_render_seg_loss=False,
         use_grasp_loss=method == "hands_light",
+        # whole-block Pallas kernel: the ViT production inference path
+        # (1.42x, BENCH_NOTES.md)
+        fused_block=method == "hamer_vith",
     )
     if method == "hamer_vith":
         model = HamerLightModel(cfg, vit_variant=vit_variant)
@@ -217,9 +220,9 @@ def main():
         vith = bench_model("hamer_vith", 256)
         print(json.dumps({
             "metric": "hamer_vith bs256 inference crops/sec/chip "
-                      "(fused on-device preprocessing; BASELINE.json metric "
-                      "model — v5e roofline for ViT-H is ~795 crops/s, see "
-                      "BENCH_NOTES.md)",
+                      "(fused on-device preprocessing + fused-block Pallas "
+                      "kernel; BASELINE.json metric model — v5e roofline "
+                      "for ViT-H is ~795 crops/s, see BENCH_NOTES.md)",
             "value": round(float(vith), 1),
             "unit": "crops/sec",
             "vs_baseline": round(float(vith) / BASELINE, 3),

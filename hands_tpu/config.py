@@ -120,6 +120,12 @@ class Config:
     # dynamic activation quantisation traffic eats most of the MXU int8
     # gain — see BENCH_NOTES.md); ~1% relative output deviation
     quant_int8: bool = False
+    # fully-fused ViT transformer-block Pallas kernel at inference: whole
+    # block VMEM-resident, 1.42x on-chip at ViT-H bs256 (571 vs 401 crops/s,
+    # BENCH_NOTES.md); same math/rounding points as the XLA block (per-block
+    # deviation at bf16 ulp level; ~1e-2 accumulated over depth 32).
+    # TPU-only (Pallas): enable for on-chip inference (bench.py does)
+    fused_block: bool = False
     compute_dtype: str = "bfloat16"  # backbone matmul dtype
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)

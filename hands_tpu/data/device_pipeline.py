@@ -566,16 +566,38 @@ class DeviceDataLoader:
                 submit()
                 yield [f.result() for f in futs]
 
-    def __iter__(self):
-        n = len(self.dataset)
-        epoch = self._epoch
-        self._epoch += 1
-        order = np.arange(n)
-        if self.is_train:
-            np.random.RandomState(self.seed * 100003 + epoch).shuffle(order)
-        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+    def _iter_stacked_batches(self, order):
+        """Packed fast path: the dataset materialises whole stacked batches
+        (one mmap gather per field — no per-record Python, no decode; see
+        data/packed.py). Yields (stacked, n_real)."""
+        n = len(order)
+        step = self.batch_size
+        starts = range(0, n - (step - 1 if self.drop_last else 0), step)
+        for s in starts:
+            idxs = order[s:s + step]
+            stacked = self.dataset.stacked_batch(idxs)
+            n_real = len(idxs)
+            n_pad = step - n_real
+            if n_pad > 0:
+                for key, val in stacked.items():
+                    if isinstance(val, list):
+                        stacked[key] = val + [val[-1]] * n_pad
+                    else:
+                        stacked[key] = np.concatenate(
+                            [val, np.repeat(val[-1:], n_pad, axis=0)])
+                for key in ("is_valid", "right_valid", "left_valid"):
+                    v = np.array(stacked[key])
+                    v[n_real:] = 0.0
+                    stacked[key] = v
+            yield stacked, n_real
+
+    def _iter_batches(self, order):
+        if hasattr(self.dataset, "stacked_batch"):
+            yield from self._iter_stacked_batches(order)
+            return
         for records in self._iter_record_batches(order):
-            n_pad = self.batch_size - len(records)
+            n_real = len(records)
+            n_pad = self.batch_size - n_real
             if n_pad > 0:
                 # pad the tail batch to the fixed shape (one compiled program
                 # for the whole sweep); padded samples are invalidated so
@@ -588,10 +610,20 @@ class DeviceDataLoader:
                     pad.right_valid = 0.0
                     pad.left_valid = 0.0
                     records.append(pad)
-            stacked = stack_records(records)
+            yield stack_records(records), n_real
+
+    def __iter__(self):
+        n = len(self.dataset)
+        epoch = self._epoch
+        self._epoch += 1
+        order = np.arange(n)
+        if self.is_train:
+            np.random.RandomState(self.seed * 100003 + epoch).shuffle(order)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+        for stacked, n_real in self._iter_batches(order):
             key, sub = jax.random.split(key)
             inputs, targets, meta = self.pre(stacked, sub)
             meta = XDict(meta)
-            meta["imgname"] = stacked["_imgnames"][: self.batch_size - n_pad]
-            meta["num_valid"] = self.batch_size - n_pad
+            meta["imgname"] = stacked["_imgnames"][:n_real]
+            meta["num_valid"] = n_real
             yield inputs, targets, meta

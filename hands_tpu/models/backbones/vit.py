@@ -126,9 +126,23 @@ class Block(nn.Module):
     fast_gelu: bool = False
     quant_int8: bool = False
     fused_attn: bool = False
+    # whole-block Pallas kernel (ops/vit_block_pallas.py): LN->qkv->attn->
+    # proj->LN->MLP resident in VMEM, one custom call per block. Inference
+    # only (no custom VJP); falls back to the XLA path at init time so the
+    # param tree is identical.
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if (self.fused_block and not self.is_initializing()
+                and self.dtype == jnp.bfloat16):
+            from hands_tpu.ops.vit_block_pallas import (
+                block_params_from_flax, vit_block_fused)
+
+            flat = block_params_from_flax(self.variables["params"])
+            return vit_block_fused(
+                x, flat, num_heads=self.num_heads,
+                fast_gelu=self.fast_gelu).astype(x.dtype)
         C = x.shape[-1]
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(self.num_heads, dtype=self.dtype,
@@ -150,12 +164,14 @@ class ScanBlock(nn.Module):
     fast_gelu: bool = False
     quant_int8: bool = False
     fused_attn: bool = False
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         return Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
                      fast_gelu=self.fast_gelu, quant_int8=self.quant_int8,
-                     fused_attn=self.fused_attn, name="block")(x), None
+                     fused_attn=self.fused_attn,
+                     fused_block=self.fused_block, name="block")(x), None
 
 
 class ViTBackbone(nn.Module):
@@ -178,6 +194,8 @@ class ViTBackbone(nn.Module):
     # Pallas VMEM-resident attention (no materialised (B,H,N,N) tensor);
     # inference-only (no custom VJP)
     fused_attn: bool = False
+    # whole-block Pallas kernel (VERDICT r2 #1); inference-only, bf16
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, kpe_emb: Optional[jnp.ndarray] = None,
@@ -223,6 +241,7 @@ class ViTBackbone(nn.Module):
                            dtype=self.dtype, fast_gelu=self.fast_gelu,
                            quant_int8=self.quant_int8,
                            fused_attn=self.fused_attn,
+                           fused_block=self.fused_block,
                            name="blocks")(x, None)
         else:
             block = nn.checkpoint(Block) if self.use_checkpoint else Block
@@ -230,7 +249,8 @@ class ViTBackbone(nn.Module):
                 x = block(cfg["num_heads"], cfg["mlp_ratio"], dtype=self.dtype,
                           fast_gelu=self.fast_gelu,
                           quant_int8=self.quant_int8,
-                          fused_attn=self.fused_attn, name=f"block{i}")(x)
+                          fused_attn=self.fused_attn,
+                          fused_block=self.fused_block, name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="last_norm")(x)
         return x.reshape(B, hp, wp, C)
 

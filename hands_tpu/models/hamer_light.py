@@ -120,6 +120,8 @@ class HamerNet(nn.Module):
             use_checkpoint=train and self.vit_variant == "h",
             fast_gelu=bool(cfg.get("fast_gelu", False)),
             quant_int8=bool(cfg.get("quant_int8", False)) and not train,
+            # whole-block Pallas kernel: inference-only, bf16 compute only
+            fused_block=bool(cfg.get("fused_block", False)) and not train,
             name="backbone",
         )
         feat = vit(x, kpe_emb=kpe_emb, train=train)  # (2B, 16, 12, C)

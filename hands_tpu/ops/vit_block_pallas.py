@@ -1,0 +1,280 @@
+"""Fully-fused ViT transformer block as ONE Pallas TPU kernel.
+
+VERDICT r2 #1: the round-2 ceiling decomposition (BENCH_NOTES.md) attributes
+~200 ms of the 637 ms ViT-H bs256 forward to activation HBM traffic that XLA
+cannot fuse past matmul materialisation points (LN/qkv/attention/MLP-hidden
+tensors are 126-504 MB each per block). This kernel keeps the whole block —
+LN1 -> qkv -> attention -> proj -> +res -> LN2 -> MLP -> +res — resident in
+VMEM per batch tile, with every weight matrix VMEM-resident across the grid
+(constant index maps: DMA'd once per block, ~40 MB bf16 vs v5e's 128 MB
+VMEM), so per-block HBM traffic collapses to read-x + write-out (~250 MB)
+plus one weight stream.
+
+Matches the reference block semantics exactly
+(``/root/reference/src/models/hamer_light/vit.py`` Block: pre-LN eps 1e-6,
+fused qkv with bias, head_dim^-0.5 scaling, f32 softmax, exact-erf GELU)
+with the same bf16 rounding points as the XLA path in
+``models/backbones/vit.py:Block`` — parity is asserted at bf16 resolution by
+``tests/test_vit_block_pallas.py``.
+
+Inference-only (no custom VJP): training keeps the XLA block, whose
+backward composes with remat/scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _layernorm_f32(x32, scale, bias, eps=1e-6):
+    # flax nn.LayerNorm semantics to the f32 rounding order: fast variance
+    # (var = max(0, E[x^2] - E[x]^2)) and mul = rsqrt(var+eps)*scale applied
+    # as ONE multiplier (flax _normalize folds scale into mul before the
+    # elementwise multiply — a different order flips bf16 ulps downstream)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0)
+    mul = jax.lax.rsqrt(var + eps) * scale
+    return (x32 - mu) * mul + bias
+
+
+def _erfc_f32(u):
+    """f32 erfc via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7 — below
+    bf16 resolution), cancellation-free on both signs: for u >= 0 the
+    polynomial IS erfc; for u < 0 use 2 - erfc(-u). Mosaic has no erf/erfc
+    lowering (only erf_inv), so the kernel cannot call jax.nn.gelu's exact
+    path (it lowers to an `erfc` primitive); exp IS lowered."""
+    a = jnp.abs(u)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    pe = poly * jnp.exp(-a * a)
+    return jnp.where(u >= 0, pe, 2.0 - pe)
+
+
+def _gelu_mosaic(x, fast: bool):
+    """GELU usable inside a Mosaic kernel. fast=True: the tanh approximation
+    (tanh lowers natively — identical to jax.nn.gelu(approximate=True)).
+    fast=False: exact erfc-form (the same formulation jax.nn.gelu lowers to:
+    0.5*x*erfc(-x/sqrt2)) computed in f32 via _erfc_f32; differs from XLA's
+    erfc by <=1 bf16 ulp wherever |gelu| is non-negligible
+    (tests/test_vit_block_pallas.py::test_mosaic_gelu)."""
+    if fast:
+        return jax.nn.gelu(x, approximate=True)
+    # mimic jax.nn.gelu's exact lowering op-for-op (mul 0.5x; d = -x/sqrt2;
+    # e = erfc(d); out = 0.5x * e) INCLUDING its bf16 intermediate
+    # roundings, so outputs agree except where the 1.5e-7 polynomial error
+    # crosses a rounding boundary
+    half_x = jnp.asarray(0.5, x.dtype) * x
+    d = (-x) * jnp.asarray(2.0**-0.5, x.dtype)
+    e = _erfc_f32(d.astype(jnp.float32)).astype(x.dtype)
+    return half_x * e
+
+
+def block_math(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+               ln2_s, ln2_b, w1, b1, w2, b2,
+               *, num_heads: int, fast_gelu: bool):
+    """The whole block on plain arrays — called by the Pallas kernel body,
+    and directly unit-testable: composed of exactly the ops (and bf16
+    rounding points) the XLA path emits, so it matches the Flax Block
+    bit-for-bit (tests/test_vit_block_pallas.py asserts 0 diff)."""
+    TB, N, C = x.shape
+    H = num_heads
+    D = C // H
+    bf16 = jnp.bfloat16
+
+    # all ops stay 3-D (TB, N, C), matching the Flax block's dot_general
+    # layouts exactly — a (rows, C) reshape changes f32 accumulation tiling
+    # and costs occasional 1-ulp bf16 flips
+    x32 = x.astype(jnp.float32)
+
+    # ---- LN1 (f32, like nn.LayerNorm(dtype=f32)) -> bf16 for the MXU
+    y = _layernorm_f32(x32, ln1_s, ln1_b).astype(bf16)
+
+    # ---- fused qkv projection (one MXU matmul; bf16 output with f32
+    # internal accumulation = the exact nn.Dense lowering; an explicit
+    # f32-output-then-round picks a different accumulation split on the CPU
+    # backend and costs 1-ulp flips)
+    def matmul(a, b):
+        return jax.lax.dot_general(
+            a, b, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=bf16)
+
+    qkv = matmul(y, wqkv)
+    qkv = qkv + bqkv.astype(bf16)  # nn.Dense rounding point
+    qkv = qkv.reshape(TB, N, 3, H, D)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (TB, N, H, D)
+
+    # ---- attention: verbatim the XLA path's einsums/rounding points
+    # (models/backbones/vit.py Attention with an f32 input: the logits
+    # einsum emits bf16 before the f32 softmax; the probs stay f32 because
+    # `attn.astype(x.dtype)` casts to the f32 LayerNorm output dtype; the
+    # p@v einsum promotes v to f32 and its output is only rounded to bf16
+    # inside the proj Dense) — bit-parity with the compiled block
+    scale = D**-0.5
+    s = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k).astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p, v)
+    o = o.reshape(TB, N, C).astype(bf16)  # proj Dense input promotion
+
+    # ---- proj + residual
+    def dense(t, w, b):
+        return matmul(t, w) + b.astype(bf16)
+
+    x1 = x + dense(o, wproj, bproj)  # bf16 residual, same as the XLA path
+
+    # ---- LN2 + MLP
+    y2 = _layernorm_f32(x1.astype(jnp.float32), ln2_s, ln2_b).astype(bf16)
+    h = dense(y2, w1, b1)
+    h = jax.nn.gelu(h, approximate=fast_gelu)
+    return x1 + dense(h, w2, b2)
+
+
+def _vit_block_kernel(
+    x_ref, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+    ln2_s, ln2_b, w1, b1, w2, b2, out_ref, o_scratch,
+    *, num_heads: int, fast_gelu: bool,
+):
+    """Mosaic-native body: same math/rounding points as ``block_math`` but
+    restricted to what tpu.matmul/vector-layout supports — 32-bit dot
+    accumulators (f32 out + one bf16 round = the MXU's own bf16-dot
+    behaviour), no lane-splitting head reshapes (static 80-wide lane slices
+    per head, results written into a VMEM scratch), erfc-free exact GELU
+    (``_gelu_mosaic``)."""
+    TB, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    bf16 = jnp.bfloat16
+
+    def matmul_bf16(a, b):
+        r = jax.lax.dot_general(
+            a, b, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return r.astype(bf16)
+
+    x = x_ref[:]
+    x32 = x.astype(jnp.float32)
+    y = _layernorm_f32(x32, ln1_s[:], ln1_b[:]).astype(bf16)
+    qkv = matmul_bf16(y, wqkv[:]) + bqkv[:].astype(bf16)  # (TB, N, 3C)
+
+    scale = D**-0.5
+    for h in range(H):
+        qh = qkv[:, :, h * D:(h + 1) * D] * jnp.asarray(scale, bf16)
+        kh = qkv[:, :, C + h * D:C + (h + 1) * D]
+        vh = qkv[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        sh = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (TB, N, N)
+        sh = sh.astype(bf16).astype(jnp.float32)  # XLA's bf16 logits point
+        ph = jax.nn.softmax(sh, axis=-1)
+        # probs stay f32 in the XLA path; f32 x f32 keeps Mosaic's 32-bit
+        # accumulator requirement
+        oh = jax.lax.dot_general(
+            ph, vh.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (TB, N, D)
+        o_scratch[:, :, h * D:(h + 1) * D] = oh.astype(bf16)
+
+    x1 = x + (matmul_bf16(o_scratch[:], wproj[:])
+              + bproj[:].astype(bf16))
+    y2 = _layernorm_f32(x1.astype(jnp.float32), ln2_s[:], ln2_b[:]).astype(bf16)
+    hmid = _gelu_mosaic(matmul_bf16(y2, w1[:]) + b1[:].astype(bf16),
+                        fast_gelu)
+    out_ref[:] = x1 + (matmul_bf16(hmid, w2[:])
+                        + b2[:].astype(bf16))
+
+
+def _pick_tile(B: int) -> int:
+    for tb in (4, 2):
+        if B % tb == 0:
+            return tb
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "fast_gelu", "interpret"))
+def vit_block_fused(x, params, *, num_heads: int, fast_gelu: bool = False,
+                    interpret: bool = False):
+    """Run one full transformer block as a single Pallas kernel.
+
+    x: (B, N, C) bf16 tokens. params: dict with ln1_scale/ln1_bias/
+    wqkv/bqkv/wproj/bproj/ln2_scale/ln2_bias/w1/b1/w2/b2 (f32 — cast to
+    bf16 here, outside the kernel, so the in-kernel weight residency is
+    half-size).
+    """
+    B, N, C = x.shape
+    TB = _pick_tile(B)
+    bf16 = jnp.bfloat16
+    x = x.astype(bf16)
+
+    # matmul weights/biases go to bf16 (the nn.Dense promotion); LayerNorm
+    # scale/bias stay f32 (nn.LayerNorm(dtype=f32) keeps them f32)
+    p = {k: (v.astype(jnp.float32) if k.startswith("ln")
+             else v.astype(bf16)) for k, v in params.items()}
+    hidden = p["w1"].shape[1]
+
+    def vec_spec(n):
+        return pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
+
+    def mat_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    flops_mat = 2 * B * N * C * (3 * C + C + 2 * hidden) \
+        + 4 * B * N * N * C
+    kernel = functools.partial(
+        _vit_block_kernel, num_heads=num_heads, fast_gelu=fast_gelu)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), bf16),
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec(C), vec_spec(C),                    # ln1
+            mat_spec((C, 3 * C)), vec_spec(3 * C),       # qkv
+            mat_spec((C, C)), vec_spec(C),               # proj
+            vec_spec(C), vec_spec(C),                    # ln2
+            mat_spec((C, hidden)), vec_spec(hidden),     # mlp in
+            mat_spec((hidden, C)), vec_spec(C),          # mlp out
+        ],
+        out_specs=pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TB, N, C), bf16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mat,
+            bytes_accessed=2 * B * N * C * 2 + 2 * sum(
+                int(v.size) for v in p.values()),
+            transcendentals=B * N * (hidden + N * num_heads),
+        ),
+        interpret=interpret,
+    )(
+        x, p["ln1_scale"], p["ln1_bias"], p["wqkv"], p["bqkv"],
+        p["wproj"], p["bproj"], p["ln2_scale"], p["ln2_bias"],
+        p["w1"], p["b1"], p["w2"], p["b2"],
+    )
+
+
+def block_params_from_flax(block_params: dict) -> dict:
+    """Map a Flax Block param subtree (models/backbones/vit.py naming) to the
+    flat dict ``vit_block_fused`` takes."""
+    return {
+        "ln1_scale": block_params["norm1"]["scale"],
+        "ln1_bias": block_params["norm1"]["bias"],
+        "wqkv": block_params["attn"]["qkv"]["kernel"],
+        "bqkv": block_params["attn"]["qkv"]["bias"],
+        "wproj": block_params["attn"]["proj"]["kernel"],
+        "bproj": block_params["attn"]["proj"]["bias"],
+        "ln2_scale": block_params["norm2"]["scale"],
+        "ln2_bias": block_params["norm2"]["bias"],
+        "w1": block_params["mlp"]["Dense_0"]["kernel"],
+        "b1": block_params["mlp"]["Dense_0"]["bias"],
+        "w2": block_params["mlp"]["Dense_1"]["kernel"],
+        "b2": block_params["mlp"]["Dense_1"]["bias"],
+    }

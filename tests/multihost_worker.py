@@ -1,0 +1,111 @@
+"""Worker for the 2-process multi-host proof (VERDICT r2 #3).
+
+Run as: python multihost_worker.py <pid> <nprocs> <coord_addr> <out_json>
+
+Each process owns 4 virtual CPU devices (XLA_FLAGS set by the parent) and
+joins the process group over gloo collectives — the CPU stand-in for a
+multi-host TPU pod over DCN (the reference's Lightning multi-node DDP,
+scripts_method/train.py:61-72). The global batch is assembled from each
+host's local shard via ``make_global_array`` and one full data-parallel
+train step runs over the global mesh; process 0 dumps loss/grad_norm.
+"""
+
+import json
+import sys
+
+
+def main():
+    pid, nprocs, coord, out_json = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # persistent compile cache: repeated suite runs skip the expensive
+    # train-step compile (same policy as tests/conftest.py)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hands_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from hands_tpu.parallel import distributed
+
+    distributed.initialize(coordinator_address=coord, num_processes=nprocs,
+                           process_id=pid)
+    assert jax.process_count() == nprocs
+    assert jax.local_device_count() == (4 if nprocs > 1 else 8)
+
+    import numpy as np
+
+    # establish the gloo context with a trivial collective BEFORE the heavy
+    # train-step program: context init has a 30s rendezvous deadline, and on
+    # a 1-core host the two processes can reach the first collective of a
+    # minutes-long program more than 30s apart (observed DEADLINE_EXCEEDED);
+    # the context is keyed by the participating ranks and reused afterwards
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+    from hands_tpu.parallel.mesh import make_mesh as _mm
+
+    _mesh = _mm((-1,), ("data",))
+    _probe = jax.make_array_from_process_local_data(
+        NamedSharding(_mesh, _P("data")),
+        np.ones((jax.local_device_count(),), np.float32))
+    assert float(jax.jit(jnp_sum_probe := (lambda t: t.sum()))(_probe)) ==         jax.device_count()
+
+    from hands_tpu.config import default_config
+    from hands_tpu.data.synthetic import make_batch
+    from hands_tpu.models.hands_light import HandsLightModel
+    from hands_tpu.parallel.mesh import make_mesh
+    from hands_tpu.train.state import create_train_state
+    from hands_tpu.train.step import make_train_step
+    from jax.sharding import PartitionSpec as P
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        use_render_seg_loss=False, use_grasp_loss=False, use_glb_feat=False,
+        img_res=160, img_res_ds=160, lr=1e-3)
+
+    GLOBAL_B = 8
+    # every host builds the same deterministic global batch, then feeds ONLY
+    # its own shard through make_global_array (the real data-loader contract:
+    # host_shard_range -> local records -> global array)
+    batch = make_batch(cfg, GLOBAL_B, seed=0, np_arrays=True)
+    lo, hi = distributed.host_shard_range(GLOBAL_B)
+    per_host = GLOBAL_B // nprocs
+    assert (lo, hi) == (pid * per_host, (pid + 1) * per_host)
+
+    mesh = make_mesh((-1,), ("data",))
+    assert mesh.devices.size == jax.device_count()
+
+    def to_global(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] != GLOBAL_B:
+            return distributed.make_global_array(x, mesh, P())
+        return distributed.make_global_array(x[lo:hi], mesh, P("data"))
+
+    gbatch = tuple({k: to_global(v) for k, v in part.items()}
+                   for part in batch)
+
+    model = HandsLightModel(cfg)
+    inputs, _, meta_info = make_batch(cfg, 2, seed=0)
+    variables = model.init(jax.random.PRNGKey(0), inputs, meta_info)
+    state = create_train_state(cfg, variables)
+    step = make_train_step(model, cfg, donate=False)
+    state, logs = step(state, gbatch, jax.random.PRNGKey(1))
+    # second step proves the updated (sharding-committed) state re-enters
+    state, logs2 = step(state, gbatch, jax.random.PRNGKey(2))
+
+    result = {
+        "process_count": jax.process_count(),
+        "device_count": jax.device_count(),
+        "loss": float(logs["loss"]),
+        "grad_norm": float(logs["grad_norm"]),
+        "loss2": float(logs2["loss"]),
+    }
+    if pid == 0:
+        with open(out_json, "w") as f:
+            json.dump(result, f)
+    print(f"[worker {pid}] {result}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
