@@ -32,12 +32,63 @@ from hands_tpu.data.records import LOSS_FLAGS, Record
 
 _VERSION = 1
 
+# fields at or under this size are read fully into RAM at open time
+_RAM_FIELD_BYTES = 1 << 26
 
-def pack_dataset(dataset, out_dir: str, chunk: int = 64) -> str:
+
+def downscale_record(rec: Record, k: int) -> Record:
+    """Scale a record's image (area-average) and every image-pixel-space
+    field by an integer factor ``k`` — the pack-time resolution knob.
+
+    Pixel-space fields (K, j2d xy, bbox, detected boxes, mask/depth
+    resolution) scale together so the crop geometry and the crop-adjusted
+    intrinsics are invariant; patch-space quantities (``wp_focal``, the
+    weak-perspective focal already expressed at ``img_res``) and
+    normalised-coordinate ones (``dist``) are untouched.
+    """
+    if k <= 1:
+        return rec
+    img = np.asarray(rec.image)
+    H, W = img.shape[:2]
+    H2, W2 = H // k, W // k
+    crop = img[: H2 * k, : W2 * k]
+    if crop.dtype != np.uint8:
+        crop = np.clip(crop, 0, 255).astype(np.uint8)
+    acc = crop.reshape(H2, k, W2, k, -1).astype(np.uint32).sum(axis=(1, 3))
+    rec.image = ((acc + k * k // 2) // (k * k)).astype(np.uint8)
+    s = np.float32(1.0 / k)
+    K = np.array(rec.K, np.float32)
+    K[:2] *= s
+    rec.K = K
+    for name in ("j2d_r", "j2d_l"):
+        j = np.array(getattr(rec, name), np.float32)
+        j[:, :2] *= s
+        setattr(rec, name, j)
+    rec.bbox = np.asarray(rec.bbox, np.float32) * s
+    if rec.r_bbox is not None:
+        rec.r_bbox = np.asarray(rec.r_bbox, np.float32) * s
+    if rec.l_bbox is not None:
+        rec.l_bbox = np.asarray(rec.l_bbox, np.float32) * s
+    # nearest (cell-centre) subsample keeps the R=255/L=127 mask coding and
+    # avoids mixing depth across object edges
+    o = k // 2
+    if rec.mask is not None:
+        rec.mask = np.ascontiguousarray(
+            np.asarray(rec.mask)[o:H2 * k:k, o:W2 * k:k])
+    if rec.depth is not None:
+        rec.depth = np.ascontiguousarray(
+            np.asarray(rec.depth)[o:H2 * k:k, o:W2 * k:k])
+    return rec
+
+
+def pack_dataset(dataset, out_dir: str, chunk: int = 64,
+                 downscale: int = 1) -> str:
     """Pack any Record dataset into memory-mapped shards (in dataset order).
 
     Decode happens exactly once, here; the output is what stack_records
-    would produce, stored row-per-record on disk.
+    would produce, stored row-per-record on disk. ``downscale`` > 1 packs
+    at reduced resolution (see :func:`downscale_record`) — the bytes/row
+    knob that lets a weak host outrun the device rate.
     """
     from hands_tpu.data.device_pipeline import stack_records
 
@@ -51,7 +102,8 @@ def pack_dataset(dataset, out_dir: str, chunk: int = 64) -> str:
     written = 0
     for start in range(0, n, chunk):
         idxs = range(start, min(start + chunk, n))
-        stacked = stack_records([dataset[i] for i in idxs])
+        stacked = stack_records(
+            [downscale_record(dataset[i], downscale) for i in idxs])
         for key, val in stacked.items():
             if isinstance(val, list):
                 lists.setdefault(key, []).extend(val)
@@ -71,6 +123,7 @@ def pack_dataset(dataset, out_dir: str, chunk: int = 64) -> str:
         "n": n,
         "fields": sorted(mmaps),
         "lists": lists,
+        "downscale": downscale,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -96,10 +149,15 @@ class PackedRecordDataset:
         if self.meta.get("version") != _VERSION:
             raise ValueError(f"unknown packed version {self.meta}")
         self.n = self.meta["n"]
-        self.fields = {
-            key: np.load(os.path.join(path, f"{key}.npy"), mmap_mode="r")
-            for key in self.meta["fields"]
-        }
+        # small label fields are loaded into RAM outright (fancy indexing a
+        # memmap goes through numpy's generic gather at ~0.2 GB/s on this
+        # class of host); only the big pixel fields stay memory-mapped
+        self.fields = {}
+        for key in self.meta["fields"]:
+            arr = np.load(os.path.join(path, f"{key}.npy"), mmap_mode="r")
+            if arr.nbytes <= _RAM_FIELD_BYTES:
+                arr = np.array(arr)
+            self.fields[key] = arr
         self.lists = self.meta["lists"]
 
     def __len__(self):
@@ -107,7 +165,18 @@ class PackedRecordDataset:
 
     def stacked_batch(self, indices: Sequence[int]) -> dict:
         idx = np.asarray(indices, np.int64)
-        out = {key: arr[idx] for key, arr in self.fields.items()}
+        out = {}
+        for key, arr in self.fields.items():
+            if isinstance(arr, np.memmap):
+                # per-row contiguous copies: each row is one memcpy out of
+                # the page cache (~18x numpy's fancy-index gather on a
+                # memmap, measured — see BENCH_NOTES "packed input")
+                batch = np.empty((len(idx),) + arr.shape[1:], arr.dtype)
+                for j, i in enumerate(idx):
+                    batch[j] = arr[i]
+                out[key] = batch
+            else:
+                out[key] = arr[idx]
         for key, val in self.lists.items():
             out[key] = [val[i] for i in idx]
         return out

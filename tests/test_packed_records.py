@@ -81,6 +81,69 @@ def test_loader_equivalence_end_to_end(cfg, packed):
                 np.asarray(t1[k]), np.asarray(t2[k]), err_msg=f"targets.{k}")
 
 
+def test_downscale_record_geometry(cfg):
+    """Pack-time downscale (packed.downscale_record): pixel-space fields
+    scale together so the normalised crop geometry is invariant, the image
+    is area-averaged, masks keep their value coding, and patch-space
+    quantities are untouched."""
+    from hands_tpu.data.packed import downscale_record
+
+    ds = SyntheticRecordDataset(cfg, "train", length=2)
+    ref = ds[0]
+    rec = ds[0]
+    k = 2
+    out = downscale_record(rec, k)
+
+    H, W = ref.image.shape[:2]
+    assert out.image.shape == (H // k, W // k, 3)
+    # area-average (with rounding) of the top-left cell
+    cell = ref.image[:k, :k].astype(np.uint32).sum((0, 1))
+    np.testing.assert_array_equal(out.image[0, 0],
+                                  ((cell + k * k // 2) // (k * k)))
+    # normalised rays through K are invariant: inv(K') @ [x', y', 1]
+    # == inv(K) @ [x, y, 1] for every scaled 2D joint
+    for name in ("j2d_r", "j2d_l"):
+        j_ref = np.asarray(getattr(ref, name), np.float32)
+        j_out = np.asarray(getattr(out, name), np.float32)
+        np.testing.assert_allclose(j_out[:, :2], j_ref[:, :2] / k, rtol=1e-6)
+        np.testing.assert_array_equal(j_out[:, 2], j_ref[:, 2])
+        h_ref = np.concatenate([j_ref[:, :2], np.ones((21, 1))], 1)
+        h_out = np.concatenate([j_out[:, :2], np.ones((21, 1))], 1)
+        rays_ref = h_ref @ np.linalg.inv(np.asarray(ref.K)).T
+        rays_out = h_out @ np.linalg.inv(np.asarray(out.K)).T
+        np.testing.assert_allclose(rays_out, rays_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.bbox),
+                               np.asarray(ref.bbox, np.float32) / k)
+    if ref.mask is not None:
+        assert out.mask.shape == (H // k, W // k)
+        assert set(np.unique(out.mask)) <= set(np.unique(ref.mask))
+    # patch-space / non-pixel fields untouched
+    assert out.wp_focal == ref.wp_focal
+    np.testing.assert_array_equal(np.asarray(out.pose_r),
+                                  np.asarray(ref.pose_r))
+    # k=1 is the identity
+    same = downscale_record(ds[1], 1)
+    np.testing.assert_array_equal(same.image, ds[1].image)
+
+
+def test_pack_downscale_roundtrip(cfg, tmp_path):
+    """pack_dataset(downscale=k) == pack(downscale_record(rec, k)) for every
+    row, and meta.json records the factor."""
+    import json as _json
+    import os.path as _op
+
+    from hands_tpu.data.packed import downscale_record
+
+    ds = SyntheticRecordDataset(cfg, "train", length=6)
+    out = str(tmp_path / "ds2")
+    pack_dataset(ds, out, chunk=4, downscale=2)
+    meta = _json.load(open(_op.join(out, "meta.json")))
+    assert meta["downscale"] == 2
+    pds = PackedRecordDataset(out)
+    direct = stack_records([downscale_record(ds[i], 2) for i in range(6)])
+    _assert_stacked_equal(direct, pds.stacked_batch(range(6)))
+
+
 def test_pack_cli(tmp_path, capsys):
     from hands_tpu.cli.pack_records import main
 
