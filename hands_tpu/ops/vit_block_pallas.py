@@ -196,9 +196,9 @@ def _pick_tile(B: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "fast_gelu", "interpret"))
+    jax.jit, static_argnames=("num_heads", "fast_gelu", "interpret", "tile"))
 def vit_block_fused(x, params, *, num_heads: int, fast_gelu: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False, tile: int | None = None):
     """Run one full transformer block as a single Pallas kernel.
 
     x: (B, N, C) bf16 tokens. params: dict with ln1_scale/ln1_bias/
@@ -207,7 +207,8 @@ def vit_block_fused(x, params, *, num_heads: int, fast_gelu: bool = False,
     half-size).
     """
     B, N, C = x.shape
-    TB = _pick_tile(B)
+    TB = tile if tile is not None else _pick_tile(B)
+    assert B % TB == 0, (B, TB)
     bf16 = jnp.bfloat16
     x = x.astype(bf16)
 
