@@ -51,7 +51,7 @@ def _time(fn, *args, iters=20):
 
 
 def bench_model(method: str, batch_size: int, vit_variant: str = "h",
-                fused_preprocess: bool = True):
+                fused_preprocess: bool = True, int8: bool = False):
     from hands_tpu.config import default_config
     from hands_tpu.data.datasets import SyntheticRecordDataset
     from hands_tpu.data.device_pipeline import DevicePreprocessor, stack_records
@@ -65,6 +65,8 @@ def bench_model(method: str, batch_size: int, vit_variant: str = "h",
         # whole-block Pallas kernel: the ViT production inference path
         # (1.42x, BENCH_NOTES.md)
         fused_block=method == "hamer_vith",
+        # + W8A8 int8 MXU dots inside the fused block (lossy serving mode)
+        quant_int8=int8,
     )
     if method == "hamer_vith":
         model = HamerLightModel(cfg, vit_variant=vit_variant)
@@ -257,6 +259,9 @@ def main():
     p.add_argument("--downscale", type=int, default=1,
                    help="pipeline_io --packed: pack-time integer image "
                         "downscale (bytes/row knob, see packed.py)")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 int8 serving mode (hamer_vith: int8 dots "
+                        "inside the fused-block kernel)")
     args = p.parse_args()
 
     if args.model == "headline":
@@ -273,6 +278,15 @@ def main():
             "value": round(float(vith), 1),
             "unit": "crops/sec",
             "vs_baseline": round(float(vith) / BASELINE, 3),
+        }), flush=True)
+        vith8 = bench_model("hamer_vith", 256, int8=True)
+        print(json.dumps({
+            "metric": "hamer_vith bs256 int8-W8A8 serving crops/sec/chip "
+                      "(fused-block Pallas kernel with int8 MXU dots; "
+                      "lossy — accuracy deltas in BENCH_NOTES.md)",
+            "value": round(float(vith8), 1),
+            "unit": "crops/sec",
+            "vs_baseline": round(float(vith8) / BASELINE, 3),
         }), flush=True)
         wild = bench_model("hands_light", 64)
         print(json.dumps({
@@ -310,9 +324,10 @@ def main():
     else:
         bs = args.batch_size if args.model != "hamer_vith" else max(
             args.batch_size, 256)
-        value = bench_model(args.model, bs)
+        value = bench_model(args.model, bs, int8=args.int8)
         metric = (f"{args.model} bs{bs} inference crops/sec/chip "
-                  f"(fused on-device preprocessing)")
+                  f"(fused on-device preprocessing"
+                  f"{', int8 W8A8' if args.int8 else ''})")
         unit = "crops/sec"
 
     print(json.dumps({

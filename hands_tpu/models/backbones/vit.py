@@ -137,10 +137,14 @@ class Block(nn.Module):
         if (self.fused_block and not self.is_initializing()
                 and self.dtype == jnp.bfloat16):
             from hands_tpu.ops.vit_block_pallas import (
-                block_params_from_flax, vit_block_fused)
+                block_params_from_flax, vit_block_fused,
+                vit_block_fused_int8)
 
             flat = block_params_from_flax(self.variables["params"])
-            return vit_block_fused(
+            # quant_int8 + fused_block = the W8A8 kernel (int8 MXU dots,
+            # per-token activation scales); lossy serving mode
+            fn = vit_block_fused_int8 if self.quant_int8 else vit_block_fused
+            return fn(
                 x, flat, num_heads=self.num_heads,
                 fast_gelu=self.fast_gelu).astype(x.dtype)
         C = x.shape[-1]

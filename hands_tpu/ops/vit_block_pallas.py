@@ -188,6 +188,90 @@ def _vit_block_kernel(
                         + b2[:].astype(bf16))
 
 
+def _quant_rows_f32(a32):
+    """Symmetric per-row dynamic int8 quantisation of a 2-D f32 tensor.
+
+    Per-row (= per-token here: every row is one token's channel vector)
+    scales track the activation range far tighter than Int8Dense's
+    per-tensor scale (models/backbones/vit.py) — LayerNorm outputs are
+    zero-mean/unit-var per token, so row maxima are well-conditioned."""
+    s = jnp.max(jnp.abs(a32), axis=-1, keepdims=True) / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(a32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _int8_dot(q, s_rows, wq, ws_cols):
+    """(R,K)i8 x (K,M)i8 -> i32 on the MXU's int8 path (2x bf16 peak on
+    v5e), dequantised to f32 with the row/column scales."""
+    r = jax.lax.dot_general(
+        q, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    return r.astype(jnp.float32) * s_rows * ws_cols
+
+
+def _vit_block_int8_kernel(
+    x_ref, ln1_s, ln1_b, wqkv_q, sqkv, bqkv, wproj_q, sproj, bproj,
+    ln2_s, ln2_b, w1_q, s1, b1, w2_q, s2, b2, out_ref, o_scratch,
+    *, num_heads: int, fast_gelu: bool,
+):
+    """W8A8 variant of ``_vit_block_kernel``: the four dense matmuls
+    (qkv/proj/MLP — ~97.5% of block FLOPs) run int8 x int8 -> int32 with
+    per-output-channel weight scales and per-token dynamic activation
+    scales; attention stays bf16/f32 (2.5% of FLOPs, and logits/probs
+    precision matters there). Lossy by construction — serving mode, the
+    bf16 kernel remains the parity path."""
+    TB, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    R = TB * N
+    bf16 = jnp.bfloat16
+
+    x = x_ref[:]
+    x32 = x.astype(jnp.float32).reshape(R, C)
+
+    # ---- LN1 -> int8 qkv
+    y32 = _layernorm_f32(x32, ln1_s[:], ln1_b[:])
+    qy, sy = _quant_rows_f32(y32)
+    qkv = (_int8_dot(qy, sy, wqkv_q[:], sqkv[:]) + bqkv[:]) \
+        .astype(bf16).reshape(TB, N, 3 * C)
+
+    # ---- attention (bf16 MXU, f32 softmax) — same as the bf16 kernel
+    scale = D**-0.5
+    for h in range(H):
+        qh = qkv[:, :, h * D:(h + 1) * D] * jnp.asarray(scale, bf16)
+        kh = qkv[:, :, C + h * D:C + (h + 1) * D]
+        vh = qkv[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        sh = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ph = jax.nn.softmax(sh, axis=-1)
+        oh = jax.lax.dot_general(
+            ph, vh.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_scratch[:, :, h * D:(h + 1) * D] = oh.astype(bf16)
+
+    # ---- int8 proj + residual
+    qo, so = _quant_rows_f32(o_scratch[:].astype(jnp.float32).reshape(R, C))
+    x1 = x32 + _int8_dot(qo, so, wproj_q[:], sproj[:]) + bproj[:]
+
+    # ---- LN2 + int8 MLP
+    y2 = _layernorm_f32(x1, ln2_s[:], ln2_b[:])
+    qy2, sy2 = _quant_rows_f32(y2)
+    hmid = _gelu_mosaic(
+        _int8_dot(qy2, sy2, w1_q[:], s1[:]) + b1[:], fast_gelu)
+    qh, shs = _quant_rows_f32(hmid)
+    out = x1 + _int8_dot(qh, shs, w2_q[:], s2[:]) + b2[:]
+    out_ref[:] = out.reshape(TB, N, C).astype(bf16)
+
+
+def quantize_weight_int8(w):
+    """f32/bf16 (K, M) weight -> (int8 (K, M), f32 (M,)) per-output-channel
+    symmetric scales. Same convention as Int8Dense
+    (models/backbones/vit.py)."""
+    w32 = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w32), axis=0) / 127.0 + 1e-12
+    return jnp.round(w32 / s).astype(jnp.int8), s
+
+
 def _pick_tile(B: int) -> int:
     for tb in (4, 2):
         if B % tb == 0:
@@ -259,6 +343,80 @@ def vit_block_fused(x, params, *, num_heads: int, fast_gelu: bool = False,
         x, p["ln1_scale"], p["ln1_bias"], p["wqkv"], p["bqkv"],
         p["wproj"], p["bproj"], p["ln2_scale"], p["ln2_bias"],
         p["w1"], p["b1"], p["w2"], p["b2"],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "fast_gelu", "interpret", "tile"))
+def vit_block_fused_int8(x, params, *, num_heads: int,
+                         fast_gelu: bool = False, interpret: bool = False,
+                         tile: int | None = None):
+    """W8A8 serving variant of ``vit_block_fused``.
+
+    Same param dict; weights are quantised to int8 (per-output-channel
+    scales) in XLA just outside the kernel — negligible next to the
+    matmuls, and the int8 weight residency halves the per-block VMEM
+    weight stream (~20 MB vs ~40 MB bf16). Activations are quantised
+    per-token inside the kernel. Lossy: use for throughput-critical
+    serving; accuracy deltas are characterised in BENCH_NOTES.md."""
+    B, N, C = x.shape
+    TB = tile if tile is not None else _pick_tile(B)
+    assert B % TB == 0, (B, TB)
+    bf16 = jnp.bfloat16
+    x = x.astype(bf16)
+
+    wqkv_q, sqkv = quantize_weight_int8(params["wqkv"])
+    wproj_q, sproj = quantize_weight_int8(params["wproj"])
+    w1_q, s1 = quantize_weight_int8(params["w1"])
+    w2_q, s2 = quantize_weight_int8(params["w2"])
+    f32 = jnp.float32
+    hidden = w1_q.shape[1]
+
+    def vec_spec(n):
+        return pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
+
+    def mat_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    flops_mat = 2 * B * N * C * (3 * C + C + 2 * hidden) \
+        + 4 * B * N * N * C
+    kernel = functools.partial(
+        _vit_block_int8_kernel, num_heads=num_heads, fast_gelu=fast_gelu)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), bf16),
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec(C), vec_spec(C),                          # ln1
+            mat_spec((C, 3 * C)), vec_spec(3 * C), vec_spec(3 * C),  # qkv
+            mat_spec((C, C)), vec_spec(C), vec_spec(C),        # proj
+            vec_spec(C), vec_spec(C),                          # ln2
+            mat_spec((C, hidden)), vec_spec(hidden), vec_spec(hidden),
+            mat_spec((hidden, C)), vec_spec(C), vec_spec(C),   # mlp out
+        ],
+        out_specs=pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TB, N, C), bf16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mat,
+            bytes_accessed=2 * B * N * C * 2
+            + sum(int(w.size) for w in (wqkv_q, wproj_q, w1_q, w2_q)),
+            transcendentals=B * N * (hidden + N * num_heads),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        params["ln1_scale"].astype(f32), params["ln1_bias"].astype(f32),
+        wqkv_q, sqkv, params["bqkv"].astype(f32),
+        wproj_q, sproj, params["bproj"].astype(f32),
+        params["ln2_scale"].astype(f32), params["ln2_bias"].astype(f32),
+        w1_q, s1, params["b1"].astype(f32),
+        w2_q, s2, params["b2"].astype(f32),
     )
 
 

@@ -148,3 +148,59 @@ def test_mosaic_gelu_matches_exact():
     np.testing.assert_array_equal(
         np.asarray(_gelu_mosaic(x, fast=True), np.float32),
         np.asarray(jax.nn.gelu(x, approximate=True), np.float32))
+
+
+def test_int8_kernel_close_to_bf16_kernel():
+    """W8A8 variant (per-output-channel weight scales + per-token dynamic
+    activation scales, int8 MXU dots): lossy by construction, so the bound
+    is statistical — near-unit cosine and max error a small fraction of the
+    activation scale. On-chip figures in BENCH_NOTES.md (1.49x/block)."""
+    from hands_tpu.ops.vit_block_pallas import vit_block_fused_int8
+
+    rng = np.random.RandomState(7)
+    C, heads, hidden, N, B = 128, 2, 256, 16, 4
+    params = {
+        "ln1_scale": jnp.ones(C) + 0.05, "ln1_bias": jnp.zeros(C) + 0.02,
+        "wqkv": jnp.asarray(rng.randn(C, 3 * C) * 0.05, jnp.float32),
+        "bqkv": jnp.asarray(rng.randn(3 * C) * 0.02, jnp.float32),
+        "wproj": jnp.asarray(rng.randn(C, C) * 0.05, jnp.float32),
+        "bproj": jnp.asarray(rng.randn(C) * 0.02, jnp.float32),
+        "ln2_scale": jnp.ones(C) - 0.03, "ln2_bias": jnp.zeros(C),
+        "w1": jnp.asarray(rng.randn(C, hidden) * 0.05, jnp.float32),
+        "b1": jnp.asarray(rng.randn(hidden) * 0.02, jnp.float32),
+        "w2": jnp.asarray(rng.randn(hidden, C) * 0.05, jnp.float32),
+        "b2": jnp.asarray(rng.randn(C) * 0.02, jnp.float32),
+    }
+    x = jnp.asarray(rng.randn(B, N, C) * 0.5, jnp.bfloat16)
+    ref = np.asarray(
+        vit_block_fused(x, params, num_heads=heads, interpret=True),
+        np.float32)
+    out = np.asarray(
+        vit_block_fused_int8(x, params, num_heads=heads, interpret=True),
+        np.float32)
+    assert out.dtype == np.float32 and out.shape == ref.shape
+    err = np.abs(ref - out)
+    assert err.max() < 0.12 * ref.std(), (err.max(), ref.std())
+    cos = (ref * out).sum() / (
+        np.linalg.norm(ref) * np.linalg.norm(out) + 1e-12)
+    assert cos > 0.999, cos
+
+
+def test_int8_through_vit_backbone():
+    """quant_int8 + fused_block selects the W8A8 kernel through the
+    scan-stacked backbone; output stays close to the fp path."""
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.bfloat16)
+    kw = dict(variant="tiny", dtype=jnp.bfloat16, use_scan=True)
+    vit_ref = ViTBackbone(**kw)
+    variables = vit_ref.init(jax.random.PRNGKey(0), x)
+    ref = vit_ref.apply(variables, x)
+
+    vit_q = ViTBackbone(fused_block=True, quant_int8=True, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out = vit_q.apply(variables, x)
+    a, b = np.asarray(ref, np.float32), np.asarray(out, np.float32)
+    denom = np.maximum(np.abs(a), 1.0)
+    # two blocks of quantisation noise on top of bf16 resolution
+    assert np.max(np.abs(a - b) / denom) < 8e-2
+    assert np.mean(np.abs(a - b)) < 2e-2
