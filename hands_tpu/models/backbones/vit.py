@@ -137,16 +137,22 @@ class Block(nn.Module):
         if (self.fused_block and not self.is_initializing()
                 and self.dtype == jnp.bfloat16):
             from hands_tpu.ops.vit_block_pallas import (
-                block_params_from_flax, vit_block_fused,
-                vit_block_fused_int8)
+                block_params_from_flax, vit_block_fused_int8,
+                vit_block_fused_trainable)
 
             flat = block_params_from_flax(self.variables["params"])
-            # quant_int8 + fused_block = the W8A8 kernel (int8 MXU dots,
-            # per-token activation scales); lossy serving mode
-            fn = vit_block_fused_int8 if self.quant_int8 else vit_block_fused
-            return fn(
-                x, flat, num_heads=self.num_heads,
-                fast_gelu=self.fast_gelu).astype(x.dtype)
+            if self.quant_int8:
+                # quant_int8 + fused_block = the W8A8 kernel (int8 MXU
+                # dots, per-token activation scales); lossy serving mode,
+                # inference only
+                return vit_block_fused_int8(
+                    x, flat, num_heads=self.num_heads,
+                    fast_gelu=self.fast_gelu).astype(x.dtype)
+            # training-safe: fused Pallas forward + custom VJP that
+            # recomputes through the bit-identical XLA math (block-granular
+            # remat by construction — do NOT wrap in nn.remat on top)
+            return vit_block_fused_trainable(
+                x, flat, self.num_heads, self.fast_gelu).astype(x.dtype)
         C = x.shape[-1]
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(self.num_heads, dtype=self.dtype,

@@ -115,13 +115,20 @@ class HamerNet(nn.Module):
                                 inputs["l_corner_angle"])
             kpe_emb = jnp.concatenate([r_emb, l_emb], axis=0)
 
+        # whole-block Pallas kernel (bf16 compute only). Training-safe via
+        # its custom VJP, which recomputes through the XLA math in the
+        # backward — block-granular remat by construction, so per-block
+        # nn.remat is redundant (and would re-run the fused forward) when
+        # the kernel is on.
+        fused_block = (bool(cfg.get("fused_block", False))
+                       and dtype == jnp.bfloat16)
         vit = ViTBackbone(
             variant=self.vit_variant, dtype=dtype,
-            use_checkpoint=train and self.vit_variant == "h",
+            use_checkpoint=(train and self.vit_variant == "h"
+                            and not fused_block),
             fast_gelu=bool(cfg.get("fast_gelu", False)),
             quant_int8=bool(cfg.get("quant_int8", False)) and not train,
-            # whole-block Pallas kernel: inference-only, bf16 compute only
-            fused_block=bool(cfg.get("fused_block", False)) and not train,
+            fused_block=fused_block,
             name="backbone",
         )
         feat = vit(x, kpe_emb=kpe_emb, train=train)  # (2B, 16, 12, C)

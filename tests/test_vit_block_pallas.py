@@ -204,3 +204,75 @@ def test_int8_through_vit_backbone():
     # two blocks of quantisation noise on top of bf16 resolution
     assert np.max(np.abs(a - b) / denom) < 8e-2
     assert np.mean(np.abs(a - b)) < 2e-2
+
+
+def test_trainable_fused_block_grads_match_xla():
+    """vit_block_fused_trainable: forward = the Pallas kernel, backward =
+    XLA's own gradients via the bit-identical block_math recompute. Grads
+    wrt params and x must match the plain Flax Block's."""
+    from hands_tpu.ops.vit_block_pallas import vit_block_fused_trainable
+
+    rng = np.random.RandomState(9)
+    B, N, C, heads = 2, 16, 128, 2
+    x = jnp.asarray(rng.randn(B, N, C) * 0.5, jnp.bfloat16)
+    block = _mk_block(False, heads)
+    variables = block.init(jax.random.PRNGKey(0), x)
+    variables = jax.tree.map(
+        lambda p: p + jnp.asarray(
+            np.random.RandomState(1).randn(*p.shape) * 0.05, p.dtype),
+        variables)
+    cot = jnp.asarray(rng.randn(B, N, C) * 0.1, jnp.float32)
+
+    def loss_ref(v, x):
+        out = block.apply(v, x).astype(jnp.float32)
+        return jnp.sum(out * cot)
+
+    def loss_fused(v, x):
+        out = vit_block_fused_trainable(
+            x, block_params_from_flax(v["params"]), heads, False, True
+        ).astype(jnp.float32)
+        return jnp.sum(out * cot)
+
+    gref_v, gref_x = jax.grad(loss_ref, argnums=(0, 1))(variables, x)
+    gfus_v, gfus_x = jax.grad(loss_fused, argnums=(0, 1))(variables, x)
+    def close(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        # the two backward graphs compute the same math but XLA schedules
+        # their bf16 dot accumulations differently -> a few-ulp noise floor
+        # (same caveat as block_math's docstring); structure/scale bugs
+        # show up orders of magnitude above this
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.max(np.abs(a - b)) <= 0.04 * scale, \
+            (np.max(np.abs(a - b)), scale)
+        assert np.mean(np.abs(a - b)) <= 4e-3 * scale
+
+    jax.tree.map(close, gref_v, gfus_v)
+    close(gref_x, gfus_x)
+
+
+def test_trainable_fused_block_through_backbone_grad():
+    """Grad flows through the scan-stacked backbone with fused_block on
+    (the custom VJP acts as block-granular remat — no nn.remat needed)."""
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.bfloat16)
+    kw = dict(variant="tiny", dtype=jnp.bfloat16, use_scan=True)
+    vit_ref = ViTBackbone(**kw)
+    variables = vit_ref.init(jax.random.PRNGKey(0), x)
+    vit_fused = ViTBackbone(fused_block=True, **kw)
+
+    def loss(mod, v):
+        return jnp.sum(mod.apply(v, x).astype(jnp.float32) ** 2)
+
+    gref = jax.grad(lambda v: loss(vit_ref, v))(variables)
+    with pltpu.force_tpu_interpret_mode():
+        gfus = jax.grad(lambda v: loss(vit_fused, v))(variables)
+    # primals differ by kernel ulps -> grads differ slightly through the
+    # squared loss; bound is loose but catches wiring/structure bugs
+    ra = jax.tree.leaves(gref)
+    rb = jax.tree.leaves(gfus)
+    assert len(ra) == len(rb)
+    for a, b in zip(ra, rb):
+        a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
+        denom = max(np.abs(a).max(), 1e-3)
+        assert np.max(np.abs(a - b)) / denom < 6e-2
