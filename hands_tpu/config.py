@@ -129,6 +129,11 @@ class Config:
     compute_dtype: str = "bfloat16"  # backbone matmul dtype
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
+    # ZeRO-3 fully-sharded data parallelism: params + Adam moments sharded
+    # over the data axis, GSPMD all-gathers weights per layer and
+    # reduce-scatters grads (parallel/fsdp.py). The memory-bound multi-chip
+    # training mode the reference's DDP lacks; no-op on one device.
+    fsdp: bool = False
 
     def get(self, key, default=None):
         """EasyDict-compatible accessor used by code ported from args.get()."""

@@ -31,7 +31,9 @@ def make_mesh(
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
         shape[shape.index(-1)] = len(devices) // max(known, 1)
-    dev_array = np.asarray(devices).reshape(shape)
+    # an explicit shape smaller than the device count uses a prefix of the
+    # devices (e.g. Config.mesh_shape=(2,) on an 8-device host)
+    dev_array = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))
 
 

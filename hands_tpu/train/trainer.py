@@ -38,6 +38,30 @@ class Trainer:
             else ["mrrpe.rl", "mpjpe.ra", "mpjpe.pa.ra", "pix_err"]
         )
         self.eval_step = make_eval_step(model, cfg, metric_specs)
+        # ZeRO-3 FSDP (Config.fsdp): shard TrainState + batches over the
+        # data mesh; the jitted steps are unchanged — GSPMD inserts the
+        # per-layer all-gathers / grad reduce-scatters (parallel/fsdp.py)
+        self.mesh = None
+        if cfg.get("fsdp", False) and len(jax.devices()) > 1:
+            from hands_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+
+    def _place_state(self, state):
+        """FSDP state placement, once before the loop (no-op otherwise)."""
+        if self.mesh is None:
+            return state
+        from hands_tpu.parallel.fsdp import shard_train_state
+
+        return shard_train_state(state, self.mesh)
+
+    def _place_batch(self, batch):
+        """Batch-shard one batch over the data mesh (no-op otherwise)."""
+        if self.mesh is None:
+            return batch
+        from hands_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
 
     # ------------------------------------------------------------------ fit
     def fit(self, train_loader, val_loader=None, num_epochs: Optional[int] = None):
@@ -72,6 +96,8 @@ class Trainer:
                 state.params, os.path.basename(cfg.load_ckpt))
             state = state.replace(params=params)
 
+        state = self._place_state(state)
+
         # one sanity val batch before training (train.py:70)
         if val_loader is not None:
             self._sanity_val(state, val_loader)
@@ -85,7 +111,8 @@ class Trainer:
                 inputs, targets, meta = batch
                 meta_dev = device_view(meta)
                 rng, sub = jax.random.split(rng)
-                state, logs = self.train_step(state, (inputs, targets, meta_dev), sub)
+                state, logs = self.train_step(
+                    state, self._place_batch((inputs, targets, meta_dev)), sub)
                 global_step += 1
                 for k, v in logs.items():
                     window[k].append(float(v))
@@ -152,7 +179,8 @@ class Trainer:
     def _sanity_val(self, state, val_loader):
         batch = next(iter(val_loader))
         inputs, targets, meta = batch
-        self.eval_step(state, (inputs, targets, device_view(meta)))
+        self.eval_step(
+            state, self._place_batch((inputs, targets, device_view(meta))))
 
     def validate(self, state, val_loader) -> dict:
         """Eval epoch: nanmean of per-image metric arrays + mean losses
@@ -162,7 +190,8 @@ class Trainer:
         for batch in val_loader:
             inputs, targets, meta = batch
             metrics, logs = self.eval_step(
-                state, (inputs, targets, device_view(meta)))
+                state,
+                self._place_batch((inputs, targets, device_view(meta))))
             for k, v in metrics.items():
                 metric_arrays[k].append(np.asarray(v))
             for k, v in logs.items():

@@ -24,6 +24,8 @@ import jax.numpy as jnp  # noqa: E402
 from tests import ref_compat  # noqa: E402
 from hands_tpu.utils import torch_import as ti  # noqa: E402
 
+pytestmark = pytest.mark.heavy
+
 
 def _stub_timm():
     """Minimal timm.models.layers shims (drop_path/to_2tuple/trunc_normal_)

@@ -13,6 +13,8 @@ import ref_compat
 from hands_tpu.core import camera as jcam
 from hands_tpu.core import transforms as jtf
 
+pytestmark = pytest.mark.heavy
+
 ref_cam = ref_compat.load("common.camera")
 ref_tf = ref_compat.load("common.transforms")
 

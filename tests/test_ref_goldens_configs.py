@@ -13,6 +13,8 @@ import pytest
 from tests import ref_compat
 from hands_tpu.config import default_config
 
+pytestmark = pytest.mark.heavy
+
 # reference knobs intentionally not carried 1:1 (TPU-native replacements
 # or vestigial): vis_every (we visualize per eval epoch), pretrained (we use
 # --load_backbone with converted ckpts), logger string casing

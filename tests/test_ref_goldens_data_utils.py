@@ -21,6 +21,8 @@ import ref_compat
 from hands_tpu.data import dataset_utils as jdu
 from hands_tpu.ops import preprocess as jpp
 
+pytestmark = pytest.mark.heavy
+
 ref_du = ref_compat.load("common.data_utils")
 
 

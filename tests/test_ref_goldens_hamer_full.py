@@ -24,9 +24,9 @@ from tests import ref_compat
 from hands_tpu.config import default_config
 from hands_tpu.utils import torch_import as ti
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.heavy, pytest.mark.skipif(
     os.environ.get("HT_HEAVY") != "1",
-    reason="full-size ViT-H golden; set HT_HEAVY=1 to run")
+    reason="full-size ViT-H golden; set HT_HEAVY=1 to run")]
 
 
 def _lin(sd, k):

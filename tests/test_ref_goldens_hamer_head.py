@@ -17,6 +17,8 @@ from tests import ref_compat
 from hands_tpu.models.heads.hamer_head import ManoTransformerDecoderHead
 from hands_tpu.utils import torch_import as ti
 
+pytestmark = pytest.mark.heavy
+
 
 class _Cfg(dict):
     pass

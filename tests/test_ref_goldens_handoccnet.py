@@ -15,6 +15,8 @@ import jax.numpy as jnp  # noqa: E402
 from tests import ref_compat
 from hands_tpu.models.handoccnet_light import InjectionTransformer, SpatialGate
 
+pytestmark = pytest.mark.heavy
+
 
 def _conv(w):
     return np.asarray(w.detach().numpy()).transpose(2, 3, 1, 0)  # OIHW->HWIO

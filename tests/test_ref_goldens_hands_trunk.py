@@ -24,6 +24,8 @@ from tests.test_ref_goldens_hmr_head import _stub_pytorch3d, _convert_hand_hmr
 from hands_tpu.config import default_config
 from hands_tpu.utils import torch_import as ti
 
+pytestmark = pytest.mark.heavy
+
 
 class Args(dict):
     def __getattr__(self, k):

@@ -20,6 +20,8 @@ import jax.numpy as jnp  # noqa: E402
 from tests import ref_compat
 from hands_tpu.models.heads.hmr import HandHMR
 
+pytestmark = pytest.mark.heavy
+
 
 def _stub_pytorch3d():
     """pytorch3d.transforms.rotation_conversions: the public row-major 6D

@@ -9,6 +9,8 @@ torch = pytest.importorskip("torch")
 from tests import ref_compat
 from hands_tpu.train import metrics_object as mo
 
+pytestmark = pytest.mark.heavy
+
 
 def _make_sequence(T=60, V=40, Vo=24, seed=0):
     """Contact patterns exercising every branch: a clean long window, a

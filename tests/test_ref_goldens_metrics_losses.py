@@ -17,6 +17,8 @@ import ref_compat
 from hands_tpu.train import losses as jlo
 from hands_tpu.train import metrics as jme
 
+pytestmark = pytest.mark.heavy
+
 ref_me = ref_compat.load("common.metrics")
 ref_lo = ref_compat.load("src.utils.loss_modules")
 ref_ev = ref_compat.load_eval_modules()

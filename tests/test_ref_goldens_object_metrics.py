@@ -12,6 +12,8 @@ from tests import ref_compat
 from hands_tpu.train import metrics as hand_metrics
 from hands_tpu.train import metrics_object as mo
 
+pytestmark = pytest.mark.heavy
+
 
 def _seq_fixture(T=20, Vh=16, Vo=12, seed=0):
     """Synthetic sequence with invalid frames sprinkled in so the

@@ -15,6 +15,8 @@ torch = pytest.importorskip("torch")
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.heavy
+
 REF = "/root/reference/src/datasets/hands_light_dataset.py"
 
 

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import ref_compat
 from hands_tpu.core import rot as jrot
 
+pytestmark = pytest.mark.heavy
+
 ref_rot = ref_compat.load("common.rot")
 
 

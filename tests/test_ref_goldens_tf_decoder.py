@@ -16,6 +16,8 @@ from tests import ref_compat
 from tests.test_ref_goldens_hmr_head import _stub_pytorch3d
 from hands_tpu.models.heads.hmr import HandHMR
 
+pytestmark = pytest.mark.heavy
+
 
 def _lin(sd, k):
     return np.asarray(sd[f"{k}.weight"].detach().numpy().T), \

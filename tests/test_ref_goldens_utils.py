@@ -12,6 +12,8 @@ import jax.numpy as jnp  # noqa: E402
 from tests import ref_compat
 from hands_tpu.core import tree_utils as tu
 
+pytestmark = pytest.mark.heavy
+
 
 def test_ld2dl_and_unsort_match_reference():
     ld_ref = ref_compat.load("common.ld_utils")
