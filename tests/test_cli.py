@@ -47,3 +47,66 @@ def test_debug_flag_behavior():
     assert cfg.batch_size == 1 and cfg.trainsplit == "minitrain"
     cfg2 = construct_args(["--method", "hands_light", "-f"])
     assert cfg2.batch_size == 8 and cfg2.log_every == 5
+
+
+def test_demo_cli_single_image(tmp_path):
+    """cli/demo.py: one JPEG -> Record -> fused preprocessing -> model ->
+    per-image prediction npz + overlay PNGs (the reference README's demo
+    workflow on the real production path)."""
+    cv2 = pytest.importorskip("cv2")
+    img = (np.random.RandomState(0).rand(240, 320, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "hand.jpg")
+    cv2.imwrite(p, img)
+    out = str(tmp_path / "out")
+
+    from hands_tpu.cli.demo import main
+
+    rc = main(["--img", p, "--method", "hands_light", "--out", out,
+               "--r_bbox", "40,40,200,200", "--no_vis"])
+    assert rc == 0
+    d = np.load(os.path.join(out, "hand_pred.npz"))
+    j3d = d["pred.mano.j3d.cam.r"]
+    assert j3d.shape == (21, 3) and np.all(np.isfinite(j3d))
+    assert d["pred.mano.beta.r"].shape == (10,)
+
+
+def test_demo_cli_ckpt_roundtrip(tmp_path):
+    """--ckpt loads an orbax tree (convert_ckpt-style) by path-merge and the
+    demo predictions change accordingly."""
+    cv2 = pytest.importorskip("cv2")
+    import jax
+
+    img = (np.random.RandomState(1).rand(240, 320, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "h.jpg")
+    cv2.imwrite(p, img)
+
+    # build a full-model params tree with a recognisable perturbation and
+    # save it via the converter's orbax writer
+    from hands_tpu.cli.convert_ckpt import save_orbax
+    from hands_tpu.cli.demo import main
+    from hands_tpu.config import default_config
+    from hands_tpu.data.datasets import SyntheticRecordDataset
+    from hands_tpu.data.device_pipeline import DevicePreprocessor, stack_records
+    from hands_tpu.models.registry import fetch_model
+
+    cfg = default_config("hands_light", use_render_seg_loss=False,
+                         use_grasp_loss=False, compute_dtype="float32")
+    ds = SyntheticRecordDataset(cfg, "val", length=2)
+    stacked = stack_records([ds[0]])
+    pre = DevicePreprocessor(cfg, is_train=False)
+    inputs, _, meta = pre(stacked, jax.random.PRNGKey(0))
+    model = fetch_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), inputs, meta)
+    perturbed = jax.tree.map(lambda x: x + 0.01, variables["params"])
+    ckpt_dir = str(tmp_path / "ckpt_tree")
+    save_orbax({"params": jax.tree.map(np.asarray, perturbed)}, ckpt_dir)
+
+    out0 = str(tmp_path / "out0")
+    out1 = str(tmp_path / "out1")
+    assert main(["--img", p, "--out", out0, "--no_vis"]) == 0
+    assert main(["--img", p, "--out", out1, "--no_vis",
+                 "--ckpt", ckpt_dir]) == 0
+    a = np.load(os.path.join(out0, "h_pred.npz"))["pred.mano.j3d.cam.r"]
+    b = np.load(os.path.join(out1, "h_pred.npz"))["pred.mano.j3d.cam.r"]
+    assert np.all(np.isfinite(b))
+    assert np.abs(a - b).max() > 1e-6  # the loaded weights took effect

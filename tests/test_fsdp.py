@@ -160,3 +160,34 @@ def test_fsdp_vith_memory_sharding(devices):
                 for l in jax.tree.leaves(state_sh.params))
     per_dev = shard_bytes(state_sh.params)
     assert per_dev < 0.4 * total, (per_dev, total)
+
+
+def test_fsdp_checkpoint_roundtrip(tmp_path, devices):
+    """Orbax save/restore of an FSDP-sharded TrainState: save from sharded
+    arrays, restore into a sharded template — resume keeps working in the
+    multi-chip memory-bound mode."""
+    from hands_tpu.models.backbones.vit import ViTBackbone
+    from hands_tpu.train.checkpoint import CheckpointManager
+
+    mesh = make_mesh((8,), ("data",), devices=devices)
+    vit = ViTBackbone(variant="tiny", dtype=jnp.float32, use_scan=True)
+    x = jnp.zeros((1, 64, 48, 3), jnp.float32)
+    variables = vit.init(jax.random.PRNGKey(3), x)
+    cfg = default_config("hamer_light", compute_dtype="float32")
+    state = shard_train_state(create_train_state(cfg, variables), mesh)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_last(state, epoch=5)
+
+    # restore into a freshly-initialised sharded template
+    fresh = shard_train_state(
+        create_train_state(cfg, vit.init(jax.random.PRNGKey(9), x)), mesh)
+    restored, epoch = mgr.restore(fresh, "last")
+    assert epoch == 5
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x0, x1 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+    # restored leaves keep the FSDP sharding of the template
+    mlp_k = restored.params["blocks"]["block"]["mlp"]["Dense_0"]["kernel"]
+    assert "data" in tuple(mlp_k.sharding.spec)
