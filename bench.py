@@ -51,7 +51,8 @@ def _time(fn, *args, iters=20):
 
 
 def bench_model(method: str, batch_size: int, vit_variant: str = "h",
-                fused_preprocess: bool = True, int8: bool = False):
+                fused_preprocess: bool = True, int8: bool = False,
+                fast_gelu: bool = False):
     from hands_tpu.config import default_config
     from hands_tpu.data.datasets import SyntheticRecordDataset
     from hands_tpu.data.device_pipeline import DevicePreprocessor, stack_records
@@ -67,6 +68,9 @@ def bench_model(method: str, batch_size: int, vit_variant: str = "h",
         fused_block=method == "hamer_vith",
         # + W8A8 int8 MXU dots inside the fused block (lossy serving mode)
         quant_int8=int8,
+        # tanh-approx GELU (lossy ~1e-3; pairs naturally with the already
+        # lossy int8 serving mode)
+        fast_gelu=fast_gelu,
     )
     if method == "hamer_vith":
         model = HamerLightModel(cfg, vit_variant=vit_variant)
@@ -262,6 +266,9 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="W8A8 int8 serving mode (hamer_vith: int8 dots "
                         "inside the fused-block kernel)")
+    p.add_argument("--fast_gelu", action="store_true",
+                   help="tanh-approx GELU (~1e-3 activation deviation; "
+                        "stacks with --int8 for the fastest serving mode)")
     args = p.parse_args()
 
     if args.model == "headline":
@@ -324,10 +331,12 @@ def main():
     else:
         bs = args.batch_size if args.model != "hamer_vith" else max(
             args.batch_size, 256)
-        value = bench_model(args.model, bs, int8=args.int8)
+        value = bench_model(args.model, bs, int8=args.int8,
+                            fast_gelu=args.fast_gelu)
         metric = (f"{args.model} bs{bs} inference crops/sec/chip "
                   f"(fused on-device preprocessing"
-                  f"{', int8 W8A8' if args.int8 else ''})")
+                  f"{', int8 W8A8' if args.int8 else ''}"
+                  f"{', fast_gelu' if args.fast_gelu else ''})")
         unit = "crops/sec"
 
     print(json.dumps({

@@ -13,6 +13,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import argparse
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +24,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast_gelu", action="store_true",
+                    help="measure the int8+fast_gelu serving combo")
+    args = ap.parse_args()
     from hands_tpu.config import default_config
     from hands_tpu.data.datasets import SyntheticRecordDataset
     from hands_tpu.data.device_pipeline import (DevicePreprocessor,
@@ -33,7 +39,8 @@ def main():
     for tag, int8 in (("bf16", False), ("int8", True)):
         cfg = default_config(
             "hamer_light", compute_dtype="bfloat16",
-            use_render_seg_loss=False, fused_block=True, quant_int8=int8)
+            use_render_seg_loss=False, fused_block=True, quant_int8=int8,
+            fast_gelu=args.fast_gelu and int8)
         model = HamerLightModel(cfg, vit_variant="h")
         ds = SyntheticRecordDataset(cfg, "train", length=8)
         recs = [ds[i % len(ds)] for i in range(B)]
