@@ -134,6 +134,14 @@ class Config:
     # reduce-scatters grads (parallel/fsdp.py). The memory-bound multi-chip
     # training mode the reference's DDP lacks; no-op on one device.
     fsdp: bool = False
+    # multi-host (DCN): one process per host, the reference's multi-node DDP
+    # launch (scripts_method/train.py:61-72) as jax.distributed flags. On
+    # Cloud TPU pods all three are auto-detected (leave defaults); set them
+    # explicitly for CPU/gloo runs or custom clusters
+    # (parallel/distributed.py).
+    num_processes: int = 1
+    process_id: int = 0
+    coordinator_address: str = ""
 
     def get(self, key, default=None):
         """EasyDict-compatible accessor used by code ported from args.get()."""
@@ -265,6 +273,12 @@ def construct_args(argv=None) -> Config:
     p.add_argument("--test_batch_size", type=int, default=None)
     p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--eval_on", type=str, default="")
+    p.add_argument("--num_processes", type=int, default=1,
+                   help="multi-host: total process count (1 = single-host)")
+    p.add_argument("--process_id", type=int, default=0,
+                   help="multi-host: this process's rank")
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="multi-host: host:port of process 0")
     p.add_argument("--mute", action="store_true")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--cluster", action="store_true")

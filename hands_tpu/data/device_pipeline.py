@@ -497,10 +497,19 @@ class DeviceDataLoader:
 
     def __init__(self, dataset, cfg: Config, batch_size: int, is_train: bool,
                  seed: int = 0, drop_last: bool = True,
-                 num_workers: int = None, lookahead_batches: int = 4):
+                 num_workers: int = None, lookahead_batches: int = 4,
+                 shard: tuple = (0, 1)):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
+        # multi-host: (process_id, num_processes). batch_size stays the
+        # GLOBAL batch; each host fetches only its contiguous row range of
+        # every batch (the DistributedSampler analogue — every host derives
+        # the same (seed, epoch) permutation and slices it)
+        self.shard = shard
+        if shard[1] > 1 and batch_size % shard[1]:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"num_processes {shard[1]}")
         self.is_train = is_train
         self.seed = seed
         self.drop_last = drop_last
@@ -533,11 +542,11 @@ class DeviceDataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _iter_record_batches(self, order):
+    def _iter_record_batches(self, order, step: int = None):
         """Yield lists of Records for each index batch, fetched by a thread
         pool with bounded lookahead (num_workers == 0 -> sequential)."""
         n = len(order)
-        step = self.batch_size
+        step = step or self.batch_size
         starts = range(0, n - (step - 1 if self.drop_last else 0), step)
         if self.num_workers <= 0:
             for s in starts:
@@ -566,12 +575,12 @@ class DeviceDataLoader:
                 submit()
                 yield [f.result() for f in futs]
 
-    def _iter_stacked_batches(self, order):
+    def _iter_stacked_batches(self, order, step: int = None):
         """Packed fast path: the dataset materialises whole stacked batches
         (one mmap gather per field — no per-record Python, no decode; see
         data/packed.py). Yields (stacked, n_real)."""
         n = len(order)
-        step = self.batch_size
+        step = step or self.batch_size
         starts = range(0, n - (step - 1 if self.drop_last else 0), step)
         for s in starts:
             idxs = order[s:s + step]
@@ -592,6 +601,9 @@ class DeviceDataLoader:
             yield stacked, n_real
 
     def _iter_batches(self, order):
+        if self.shard[1] > 1:
+            yield from self._iter_batches_sharded(order)
+            return
         if hasattr(self.dataset, "stacked_batch"):
             yield from self._iter_stacked_batches(order)
             return
@@ -612,6 +624,41 @@ class DeviceDataLoader:
                     records.append(pad)
             yield stack_records(records), n_real
 
+    def _iter_batches_sharded(self, order):
+        """Multi-host path: every host derives the same global ``order`` and
+        fetches ONLY rows [pid*bl, (pid+1)*bl) of each global batch — its
+        devices' slice of the batch-sharded global array
+        (``parallel.distributed.shard_batch_global``). Global tail batches
+        are padded with repeats of the last index so every host always sees
+        a full local slice; pad rows are invalidated for the NaN-masked
+        metrics (same contract as the single-host tail padding above)."""
+        pid, nprocs = self.shard
+        B = self.batch_size
+        bl = B // nprocs
+        n = len(order)
+        nb = n // B if self.drop_last else -(-n // B)
+        g = order[:nb * B]
+        if nb * B > n:
+            g = np.concatenate([order, np.repeat(order[-1:], nb * B - n)])
+        local = g.reshape(nb, B)[:, pid * bl:(pid + 1) * bl].reshape(-1)
+        inner = (self._iter_stacked_batches
+                 if hasattr(self.dataset, "stacked_batch")
+                 else None)
+        if inner is not None:
+            batches = inner(local, step=bl)
+        else:
+            batches = ((stack_records(recs), len(recs)) for recs in
+                       self._iter_record_batches(local, step=bl))
+        for bi, (stacked, _) in enumerate(batches):
+            n_valid_g = min(n - bi * B, B)
+            n_real = int(np.clip(n_valid_g - pid * bl, 0, bl))
+            if n_real < bl:
+                for key in ("is_valid", "right_valid", "left_valid"):
+                    v = np.array(stacked[key])
+                    v[n_real:] = 0.0
+                    stacked[key] = v
+            yield stacked, n_real
+
     def __iter__(self):
         n = len(self.dataset)
         epoch = self._epoch
@@ -620,6 +667,10 @@ class DeviceDataLoader:
         if self.is_train:
             np.random.RandomState(self.seed * 100003 + epoch).shuffle(order)
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+        if self.shard[1] > 1:
+            # decorrelate augmentation draws across hosts (each host
+            # preprocesses a different row range of the global batch)
+            key = jax.random.fold_in(key, self.shard[0])
         for stacked, n_real in self._iter_batches(order):
             key, sub = jax.random.split(key)
             inputs, targets, meta = self.pre(stacked, sub)

@@ -44,11 +44,20 @@ def collate_windowed(data_list):
     return tuple(outs)
 
 
+def _host_shard():
+    """(process_id, num_processes) — each host's loader fetches only its
+    row range of every global batch (multi-host, parallel/distributed.py)."""
+    import jax
+
+    return (jax.process_index(), jax.process_count())
+
+
 def fetch_dataloader(cfg: Config, mode: str):
     if mode == "train":
         dataset = fetch_dataset(cfg, cfg.dataset, cfg.trainsplit)
         loader = DeviceDataLoader(
             dataset, cfg, cfg.batch_size, is_train=True, seed=cfg.seed,
+            shard=_host_shard(),
         )
         # overlap host decode/stacking with device steps (the reference's
         # num_workers analogue)
@@ -58,6 +67,6 @@ def fetch_dataloader(cfg: Config, mode: str):
         dataset = fetch_dataset(cfg, cfg.val_dataset, split)
         return DeviceDataLoader(
             dataset, cfg, cfg.test_batch_size, is_train=False, seed=cfg.seed,
-            drop_last=False,
+            drop_last=False, shard=_host_shard(),
         )
     raise ValueError(f"unknown mode '{mode}'")

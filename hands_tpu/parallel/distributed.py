@@ -40,3 +40,40 @@ def make_global_array(host_batch: np.ndarray, mesh, pspec):
     return jax.make_array_from_process_local_data(
         NamedSharding(mesh, pspec), host_batch
     )
+
+
+def shard_batch_global(batch, mesh, axis: str = "data"):
+    """Per-host local batch pytree -> globally batch-sharded jax arrays.
+
+    Each host passes ONLY its own rows (``host_shard_range`` of the global
+    batch); dim 0 is sharded over ``axis``, 0-d leaves are replicated. The
+    multi-host analogue of ``parallel.mesh.shard_batch`` (the reference's
+    DDP per-rank batch split, scripts_method/train.py:61-72).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def put(x):
+        x = np.asarray(x)
+        return make_global_array(x, mesh, P() if x.ndim == 0 else P(axis))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate_tree_global(tree, mesh):
+    """Host-local pytree (same value on every host) -> globally-replicated
+    jax arrays — DDP-style param/optimizer placement over the global mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    return jax.tree.map(
+        lambda x: make_global_array(np.asarray(x), mesh, P()), tree)
+
+
+def gather_to_host(tree):
+    """Fetch a pytree of (possibly non-addressable) global arrays to host
+    numpy on EVERY process — a collective: all processes must call it.
+    Used for single-writer checkpointing and metric aggregation."""
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda x: np.asarray(multihost_utils.process_allgather(
+            x, tiled=True)) if isinstance(x, jax.Array) else x, tree)

@@ -72,8 +72,21 @@ def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = "data",
 
 def shard_train_state(state, mesh: Mesh, axis: str = "data"):
     """Place a ``TrainState`` with FSDP shardings (params + Adam moments
-    sharded, scalars/batch_stats replicated)."""
-    return jax.device_put(state, fsdp_shardings(state, mesh, axis))
+    sharded, scalars/batch_stats replicated). Works under multi-host too:
+    each process materialises only its addressable shards
+    (``make_array_from_callback``; ``device_put`` cannot target
+    non-addressable devices from host values)."""
+    shardings = fsdp_shardings(state, mesh, axis)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def put(x, sh):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx: np.asarray(x[idx]))
+
+        return jax.tree.map(put, state, shardings)
+    return jax.device_put(state, shardings)
 
 
 def shard_bytes(tree: Any) -> int:

@@ -5,6 +5,13 @@ Mirrors ``ModelCheckpoint(monitor='loss__val', save_top_k=3, save_last=True)``
 (``--resume_ckpt`` restoring optimizer/epoch, ``comet_utils.py:68-69``):
 checkpoints live under ``logs/<exp_key>/checkpoints``; ``last`` is always
 written; the three best-by-``loss__val`` are kept.
+
+Multi-host: orbax is natively multi-process — ``save`` is a collective
+(every process must call it; orbax's primary host performs the directory
+ops and replicated-array writes). The manager therefore runs on ALL
+processes with the same shared ``ckpt_dir``; only the host-side
+bookkeeping (scores.json, stale-checkpoint deletion) is gated to
+process 0.
 """
 
 from __future__ import annotations
@@ -12,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
@@ -23,6 +31,7 @@ class CheckpointManager:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.top_k = top_k
         self._ckptr = ocp.StandardCheckpointer()
+        self._primary = jax.process_index() == 0
         self._scores_path = os.path.join(self.ckpt_dir, "scores.json")
         self._scores = {}
         if os.path.exists(self._scores_path):
@@ -57,12 +66,13 @@ class CheckpointManager:
         for stale in [k for k in self._scores if k not in keep]:
             del self._scores[stale]
             stale_p = os.path.join(self.ckpt_dir, stale)
-            if os.path.exists(stale_p):
+            if self._primary and os.path.exists(stale_p):
                 import shutil
 
                 shutil.rmtree(stale_p, ignore_errors=True)
-        with open(self._scores_path, "w") as f:
-            json.dump(self._scores, f)
+        if self._primary:
+            with open(self._scores_path, "w") as f:
+                json.dump(self._scores, f)
 
     # --------------------------------------------------------------- restore
     def restore(self, state, name: str = "last"):

@@ -40,28 +40,68 @@ class Trainer:
         self.eval_step = make_eval_step(model, cfg, metric_specs)
         # ZeRO-3 FSDP (Config.fsdp): shard TrainState + batches over the
         # data mesh; the jitted steps are unchanged — GSPMD inserts the
-        # per-layer all-gathers / grad reduce-scatters (parallel/fsdp.py)
+        # per-layer all-gathers / grad reduce-scatters (parallel/fsdp.py).
+        # Multi-host (jax.distributed initialised by cli/train.py): the same
+        # mesh spans every host's devices over DCN, batches are assembled
+        # from per-host shards, and only process 0 writes checkpoints.
         self.mesh = None
-        if cfg.get("fsdp", False) and len(jax.devices()) > 1:
+        self.multihost = jax.process_count() > 1
+        if ((cfg.get("fsdp", False) or self.multihost)
+                and len(jax.devices()) > 1):
             from hands_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+        if self.multihost:
+            # establish the cross-process collective context with a trivial
+            # psum BEFORE the minutes-long first train-step program: context
+            # init has a short rendezvous deadline (30 s on gloo) and
+            # processes reach the first collective of a freshly-compiled
+            # program far more than that apart; the context is keyed by the
+            # participating ranks and reused by every later collective
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            probe = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P(cfg.mesh_axis_names[0])),
+                np.ones((jax.local_device_count(),), np.float32))
+            assert float(jax.jit(lambda t: t.sum())(probe)) == \
+                jax.device_count()
 
     def _place_state(self, state):
-        """FSDP state placement, once before the loop (no-op otherwise)."""
+        """FSDP/multi-host state placement, once before the loop (no-op
+        otherwise). Multi-host without FSDP = DDP-style: params + optimiser
+        replicated over the global mesh."""
         if self.mesh is None:
             return state
+        if self.multihost and not self.cfg.get("fsdp", False):
+            from hands_tpu.parallel.distributed import replicate_tree_global
+
+            return replicate_tree_global(state, self.mesh)
         from hands_tpu.parallel.fsdp import shard_train_state
 
         return shard_train_state(state, self.mesh)
 
     def _place_batch(self, batch):
-        """Batch-shard one batch over the data mesh (no-op otherwise)."""
+        """Batch-shard one batch over the data mesh (no-op otherwise).
+        Multi-host: the loader yields this host's row range only; assemble
+        the global batch-sharded arrays from the local shards."""
         if self.mesh is None:
             return batch
+        if self.multihost:
+            from hands_tpu.parallel.distributed import shard_batch_global
+
+            return shard_batch_global(batch, self.mesh)
         from hands_tpu.parallel.mesh import shard_batch
 
         return shard_batch(batch, self.mesh)
+
+    def _save_last(self, state, epoch):
+        # orbax save is itself a multi-process collective (every process
+        # calls it; orbax's primary host writes) — do NOT gate it per rank,
+        # that deadlocks its internal sync_global_processes barrier
+        self.ckpt.save_last(state, epoch)
+
+    def _save_top_k(self, state, epoch, monitor_value):
+        self.ckpt.save_top_k(state, epoch, monitor_value)
 
     # ------------------------------------------------------------------ fit
     def fit(self, train_loader, val_loader=None, num_epochs: Optional[int] = None):
@@ -130,7 +170,7 @@ class Trainer:
                         global_step % cfg.save_every_steps == 0:
                     # mid-epoch preemption checkpoint (resume replays the
                     # rest of the epoch; step counter is restored exactly)
-                    self.ckpt.save_last(state, epoch)
+                    self._save_last(state, epoch)
 
             epoch_time = time.time() - t0
             self.exp.log_dict({"epoch_time_s": epoch_time}, global_step)
@@ -138,10 +178,12 @@ class Trainer:
             if val_loader is not None and (epoch + 1) % cfg.eval_every_epoch == 0:
                 val_metrics = self.validate(state, val_loader)
                 self.exp.log_dict(val_metrics, global_step, postfix="__val")
-                self.ckpt.save_top_k(state, epoch, val_metrics["loss"])
-                if not cfg.no_vis:
+                self._save_top_k(state, epoch, val_metrics["loss"])
+                if not cfg.no_vis and not self.multihost:
+                    # vis renders host-side from one local batch; under
+                    # multi-host a single-host eval run produces it
                     self.visualize(state, val_loader, global_step)
-            self.ckpt.save_last(state, epoch + 1)
+            self._save_last(state, epoch + 1)
         return state
 
     # ------------------------------------------------------------ visualise
@@ -192,6 +234,12 @@ class Trainer:
             metrics, logs = self.eval_step(
                 state,
                 self._place_batch((inputs, targets, device_view(meta))))
+            if self.multihost:
+                # per-image metric rows are batch-sharded over hosts; gather
+                # so every host nanmeans the identical full array
+                from hands_tpu.parallel.distributed import gather_to_host
+
+                metrics = gather_to_host(dict(metrics))
             for k, v in metrics.items():
                 metric_arrays[k].append(np.asarray(v))
             for k, v in logs.items():

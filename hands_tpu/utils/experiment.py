@@ -43,10 +43,19 @@ class Experiment:
         self.ckpt_dir = os.path.join(self.dir, "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.cfg = cfg
-        self._save_args(cfg)
-        self._metrics_f = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        # multi-host: every process shares the key/dirs (cli/train.py
+        # broadcasts process 0's key), but only rank 0 writes logs — the
+        # Lightning rank_zero_only logging convention
+        import jax
+
+        self._rank0 = jax.process_index() == 0
+        if self._rank0:
+            self._save_args(cfg)
+        self._metrics_f = (
+            open(os.path.join(self.dir, "metrics.jsonl"), "a")
+            if self._rank0 else None)
         self._tb = None
-        if cfg.logger == "tensorboard" and not cfg.mute:
+        if cfg.logger == "tensorboard" and not cfg.mute and self._rank0:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -59,6 +68,8 @@ class Experiment:
             json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
     def log_dict(self, metrics: Dict[str, float], step: int, postfix: str = ""):
+        if self._metrics_f is None:  # non-zero rank: no-op
+            return
         payload = {
             (k + postfix): float(v) for k, v in metrics.items()
         }
@@ -81,6 +92,7 @@ class Experiment:
                                    dataformats="HWC")
 
     def close(self):
-        self._metrics_f.close()
+        if self._metrics_f is not None:
+            self._metrics_f.close()
         if self._tb is not None:
             self._tb.close()

