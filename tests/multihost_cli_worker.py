@@ -4,11 +4,13 @@ last clause): ``--num_processes/--process_id/--coordinator_address`` →
 ``jax.distributed.initialize`` → host-sharded DeviceDataLoader → global
 batch assembly → DDP-replicated state → process-0 checkpointing.
 
-Run as: python multihost_cli_worker.py <pid> <nprocs> <coord_addr> <out_json>
+Run as: python multihost_cli_worker.py <pid> <nprocs> <coord> <out_json> [fsdp]
 
 The method defaults are shrunk in-process (resnet18, 160px, f32, aux losses
 off) so the CPU compile stays bounded — the CLI code path itself is
-untouched.
+untouched. The optional 5th arg "fsdp" turns on ZeRO-3 sharding, proving
+params/Adam moments sharded ACROSS hosts (parallel/fsdp.py's
+make_array_from_callback placement) drive the same CLI epoch.
 """
 
 import json
@@ -18,6 +20,7 @@ import sys
 def main():
     pid, nprocs, coord, out_json = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    fsdp = len(sys.argv) > 5 and sys.argv[5] == "fsdp"
 
     import jax
 
@@ -36,6 +39,7 @@ def main():
         compute_dtype="float32", use_render_seg_loss=False,
         use_grasp_loss=False, use_glb_feat=False,
         use_glb_feat_w_grasp=False, test_batch_size=8, num_workers=0,
+        fsdp=fsdp,
     )
 
     from hands_tpu.cli.train import main as train_main

@@ -129,20 +129,23 @@ def test_two_process_gloo_collective(tmp_path):
 
 
 @pytest.mark.heavy
-def test_two_process_cli_train(tmp_path):
+@pytest.mark.parametrize("mode", ["ddp", "fsdp"])
+def test_two_process_cli_train(tmp_path, mode):
     """The CLI flag wiring end to end: ``cli.train --num_processes 2
     --process_id i --coordinator_address ...`` runs a full -f epoch (train
     batch + sanity val + validate + top-k/last checkpoints) across 2
-    processes x 4 devices with host-sharded loading, DDP-replicated state,
-    and process-0 checkpoint writes."""
+    processes x 4 devices with host-sharded loading, DDP-replicated (or
+    ZeRO-3 cross-host-sharded) state, and collective orbax checkpoints."""
     script = os.path.join(os.path.dirname(__file__),
                           "multihost_cli_worker.py")
     coord = f"127.0.0.1:{_free_port()}"
     env = _worker_env()
     out_multi = tmp_path / "multi.json"
+    extra = ["fsdp"] if mode == "fsdp" else []
     procs = [
         subprocess.Popen(
-            [sys.executable, script, str(pid), "2", coord, str(out_multi)],
+            [sys.executable, script, str(pid), "2", coord, str(out_multi)]
+            + extra,
             env=env, cwd="/root/repo",
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in (0, 1)
