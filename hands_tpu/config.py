@@ -142,6 +142,11 @@ class Config:
     num_processes: int = 1
     process_id: int = 0
     coordinator_address: str = ""
+    # capture a jax.profiler trace of N training steps (after 2 warmup
+    # steps) into logs/<key>/trace — view with TensorBoard/xprof. The
+    # reference has no profiling at all (SURVEY §5.1; it ships with
+    # CUDA_LAUNCH_BLOCKING=1 left on).
+    profile_steps: int = 0
 
     def get(self, key, default=None):
         """EasyDict-compatible accessor used by code ported from args.get()."""
@@ -279,6 +284,9 @@ def construct_args(argv=None) -> Config:
                    help="multi-host: this process's rank")
     p.add_argument("--coordinator_address", type=str, default="",
                    help="multi-host: host:port of process 0")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="trace N train steps (jax.profiler) into "
+                        "logs/<key>/trace")
     p.add_argument("--mute", action="store_true")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--cluster", action="store_true")

@@ -145,15 +145,28 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         global_step = int(state.step)
         window = defaultdict(list)
+        # --profile_steps N: jax.profiler trace of steps [2, 2+N) (rank 0)
+        tracer = None
+        if cfg.get("profile_steps", 0) and jax.process_index() == 0:
+            import os
+
+            from hands_tpu.utils.profiling import StepTrace
+
+            tracer = StepTrace(os.path.join(self.exp.dir, "trace"),
+                               cfg.profile_steps)
+        step_in_run = 0
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             for batch in train_loader:
+                if tracer is not None:
+                    tracer.update(step_in_run)
                 inputs, targets, meta = batch
                 meta_dev = device_view(meta)
                 rng, sub = jax.random.split(rng)
                 state, logs = self.train_step(
                     state, self._place_batch((inputs, targets, meta_dev)), sub)
                 global_step += 1
+                step_in_run += 1
                 for k, v in logs.items():
                     window[k].append(float(v))
                 if cfg.debug and not np.isfinite(window["loss"][-1]):
@@ -184,6 +197,8 @@ class Trainer:
                     # multi-host a single-host eval run produces it
                     self.visualize(state, val_loader, global_step)
             self._save_last(state, epoch + 1)
+        if tracer is not None:
+            tracer.close()
         return state
 
     # ------------------------------------------------------------ visualise

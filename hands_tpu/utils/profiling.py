@@ -31,6 +31,41 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class StepTrace:
+    """Trace a window of training steps into ``log_dir``.
+
+    The Trainer hookup for ``Config.profile_steps`` (cli.train
+    --profile_steps N): captures steps [skip, skip+N) of the run — the
+    first ``skip`` steps are compile/warmup and would drown the timeline.
+    ``update(step)`` is called once per step; no-op when ``steps == 0``.
+    View with TensorBoard's profile plugin / xprof.
+    """
+
+    def __init__(self, log_dir: str, steps: int, skip: int = 2):
+        self.log_dir = log_dir
+        self.steps = steps
+        self.skip = skip
+        self._on = False
+        self._done = steps == 0
+
+    def update(self, step: int):
+        if self._done:
+            return
+        if not self._on and step >= self.skip:
+            jax.profiler.start_trace(self.log_dir)
+            self._on = True
+        elif self._on and step >= self.skip + self.steps:
+            jax.profiler.stop_trace()
+            self._on = False
+            self._done = True
+
+    def close(self):
+        if self._on:
+            jax.profiler.stop_trace()
+            self._on = False
+            self._done = True
+
+
 class StepTimer:
     """Wall-clock step timing with device sync and percentile summary."""
 

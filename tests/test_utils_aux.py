@@ -20,6 +20,35 @@ def test_step_timer():
     assert 5 < s["mean_ms"] < 100
 
 
+def test_step_trace(tmp_path):
+    """StepTrace captures exactly the [skip, skip+steps) window and writes
+    a profiler trace dir (the --profile_steps Trainer hookup)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hands_tpu.utils.profiling import StepTrace
+
+    log_dir = str(tmp_path / "trace")
+    tr = StepTrace(log_dir, steps=2, skip=1)
+    f = jax.jit(lambda x: (x * 2).sum())
+    for i in range(5):
+        tr.update(i)
+        float(f(jnp.ones(32)))
+        assert tr._on == (1 <= i < 3)
+    tr.close()
+    found = []
+    for root, _, files in os.walk(log_dir):
+        found += files
+    assert any(f.endswith(".xplane.pb") or "trace" in f for f in found), found
+
+    # steps=0 -> strict no-op, no dir created
+    tr0 = StepTrace(str(tmp_path / "none"), steps=0)
+    for i in range(3):
+        tr0.update(i)
+    tr0.close()
+    assert not os.path.exists(str(tmp_path / "none"))
+
+
 def test_viewer_gif_and_strip(tmp_path):
     from hands_tpu.utils.viewer import render_sequence, save_gif, save_strip
 
