@@ -6,6 +6,13 @@ WildHands or the HaMeR family model, via ``GenericWrapper.inference_pose``,
     python -m hands_tpu.cli.demo --img photo.jpg --method hands_light \
         [--ckpt <orbax dir or training ckpt name>] [--out demo_out] \
         [--r_bbox x0,y0,x1,y1] [--l_bbox x0,y0,x1,y1] [--focal 1000]
+    python -m hands_tpu.cli.demo --dir photos/ --batch_size 8 \
+        --method hamer_light --int8 --fast_gelu   # batch serving mode
+
+Batch serving: images (any mix of sizes — zero-padded to one raw shape)
+are processed in fixed-size padded chunks so the whole run compiles one
+program per stage; ``--int8``/``--fast_gelu`` enable the fused-block
+W8A8 serving kernels on TPU (BENCH_NOTES.md).
 
 Runs the real production path: native decode -> Record -> fused on-device
 preprocessing (crop/KPE/normalise) -> model -> weak-persp/persp camera.
@@ -113,7 +120,21 @@ def run_demo(argv=None):
     from hands_tpu.models.registry import fetch_model, inference_pose
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--img", nargs="+", required=True, help="image path(s)")
+    p.add_argument("--img", nargs="+", default=[], help="image path(s)")
+    p.add_argument("--dir", default="",
+                   help="directory of images (jpg/jpeg/png), batch-served")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="fixed serving batch: images are processed in "
+                        "padded chunks of this size so the whole run "
+                        "compiles exactly one program per stage")
+    p.add_argument("--fused_block", action="store_true",
+                   help="hamer_light: fused ViT-block Pallas kernel "
+                        "(TPU-only; 1.42x, BENCH_NOTES.md)")
+    p.add_argument("--int8", action="store_true",
+                   help="hamer_light: W8A8 int8 serving (implies "
+                        "--fused_block; lossy, see BENCH_NOTES.md)")
+    p.add_argument("--fast_gelu", action="store_true",
+                   help="tanh-approx GELU (lossy serving knob)")
     p.add_argument("--method", default="hands_light",
                    choices=["hands_light", "hamer_light", "arctic_sf_light",
                             "handoccnet_light"])
@@ -141,14 +162,27 @@ def run_demo(argv=None):
         args.method,
         use_render_seg_loss=False, use_grasp_loss=False,
         compute_dtype=args.dtype,
+        fused_block=args.fused_block or args.int8,
+        quant_int8=args.int8,
+        fast_gelu=args.fast_gelu,
     )
     os.makedirs(args.out, exist_ok=True)
 
     r_box = _parse_box(args.r_bbox)
     l_box = _parse_box(args.l_bbox)
 
+    paths = list(args.img)
+    if args.dir:
+        import glob
+
+        for ext in ("jpg", "jpeg", "png", "JPG", "JPEG", "PNG"):
+            paths += sorted(glob.glob(os.path.join(args.dir, f"*.{ext}")))
+    if not paths:
+        print("no input images (--img or --dir)")
+        return 1
+
     records = []
-    for path in args.img:
+    for path in paths:
         img, ok = _read_image(path)
         if not ok:
             print(f"WARNING: could not decode {path}; skipping")
@@ -175,50 +209,77 @@ def run_demo(argv=None):
         print("no decodable images")
         return 1
 
-    stacked = stack_records(records)
+    # heterogeneous sizes -> one fixed raw shape: zero-pad bottom/right to
+    # the max H/W (principal point and boxes are unchanged by that padding),
+    # so the whole run compiles exactly one program per stage
+    max_h = max(r.image.shape[0] for r in records)
+    max_w = max(r.image.shape[1] for r in records)
+    for r in records:
+        h, w = r.image.shape[:2]
+        if (h, w) != (max_h, max_w):
+            canvas = np.zeros((max_h, max_w, 3), r.image.dtype)
+            canvas[:h, :w] = r.image
+            r.image = canvas
+
+    import copy as _copy
+
+    bs = max(1, min(args.batch_size, len(records)))
     pre = DevicePreprocessor(cfg, is_train=False)
-    inputs, targets, meta = pre(stacked, jax.random.PRNGKey(0))
-
     model = fetch_model(cfg)
-    variables = model.init(jax.random.PRNGKey(0), inputs, meta)
-    if args.ckpt:
-        variables = load_checkpoint_variables(variables, args.ckpt)
+    variables = None
+    n_written = 0
+    for s in range(0, len(records), bs):
+        chunk = list(records[s:s + bs])
+        n_real = len(chunk)
+        while len(chunk) < bs:  # pad the tail chunk to the fixed batch
+            pad = _copy.copy(chunk[-1])
+            pad.right_valid = 0.0
+            pad.left_valid = 0.0
+            chunk.append(pad)
+        stacked = stack_records(chunk)
+        inputs, targets, meta = pre(stacked, jax.random.PRNGKey(0))
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), inputs, meta)
+            if args.ckpt:
+                variables = load_checkpoint_variables(variables, args.ckpt)
 
-    out = inference_pose(model, variables, inputs, meta)
+        out = inference_pose(model, variables, inputs, meta)
 
-    keep = [k for k in out if k.startswith("pred.mano.")
-            or k == "pred.feat_vec"]
-    for i, rec in enumerate(records):
-        stem = os.path.splitext(os.path.basename(rec.imgname))[0]
-        payload = {}
-        for k in keep:
-            v = out[k]
-            if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0 \
-                    and v.shape[0] >= len(records):
-                payload[k] = np.asarray(v[i])
-        np.savez(os.path.join(args.out, f"{stem}_pred.npz"), **payload)
+        keep = [k for k in out if k.startswith("pred.mano.")
+                or k == "pred.feat_vec"]
+        for i in range(n_real):
+            rec = chunk[i]
+            stem = os.path.splitext(os.path.basename(rec.imgname))[0]
+            payload = {}
+            for k in keep:
+                v = out[k]
+                if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0 \
+                        and v.shape[0] >= len(chunk):
+                    payload[k] = np.asarray(v[i])
+            np.savez(os.path.join(args.out, f"{stem}_pred.npz"), **payload)
 
-    if not args.no_vis:
-        from hands_tpu.utils.vis import visualize_all
+        if not args.no_vis:
+            from hands_tpu.utils.vis import visualize_all
 
-        vis_dict = XDict()
-        vis_dict.merge(XDict(inputs).prefix("inputs."))
-        vis_dict.merge(XDict({k[len("pred."):]: v for k, v in out.items()
-                              if k.startswith("pred.")}).prefix("pred."))
-        vis_dict.merge(XDict(targets).prefix("targets."))
-        vis_dict.merge(XDict(meta).prefix("meta_info."))
-        try:
-            images = visualize_all(vis_dict, cfg,
-                                   max_examples=len(records))
-            for name, im in images:
-                idx = int(name.split("__")[0] or 0)
-                stem = os.path.splitext(
-                    os.path.basename(records[idx].imgname))[0]
-                _save_png(np.asarray(im), os.path.join(
-                    args.out, f"{stem}_{name.replace('/', '_')}.png"))
-        except Exception as e:  # vis must not kill the demo
-            print(f"visualization failed (non-fatal): {e}")
-    print(f"wrote predictions for {len(records)} image(s) -> {args.out}")
+            vis_dict = XDict()
+            vis_dict.merge(XDict(inputs).prefix("inputs."))
+            vis_dict.merge(XDict({k[len("pred."):]: v
+                                  for k, v in out.items()
+                                  if k.startswith("pred.")}).prefix("pred."))
+            vis_dict.merge(XDict(targets).prefix("targets."))
+            vis_dict.merge(XDict(meta).prefix("meta_info."))
+            try:
+                images = visualize_all(vis_dict, cfg, max_examples=n_real)
+                for name, im in images:
+                    idx = int(name.split("__")[0] or 0)
+                    stem = os.path.splitext(
+                        os.path.basename(chunk[idx].imgname))[0]
+                    _save_png(np.asarray(im), os.path.join(
+                        args.out, f"{stem}_{name.replace('/', '_')}.png"))
+            except Exception as e:  # vis must not kill the demo
+                print(f"visualization failed (non-fatal): {e}")
+        n_written += n_real
+    print(f"wrote predictions for {n_written} image(s) -> {args.out}")
     return 0
 
 

@@ -70,6 +70,30 @@ def test_demo_cli_single_image(tmp_path):
     assert d["pred.mano.beta.r"].shape == (10,)
 
 
+def test_demo_cli_batched_dir(tmp_path):
+    """Batch serving mode: a directory of mixed-size images is zero-padded
+    to one raw shape and processed in fixed-size padded chunks (2 chunks
+    here: 3 images, bs2) — per-image npz written for every real image."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(2)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i, (h, w) in enumerate([(240, 320), (200, 280), (240, 320)]):
+        cv2.imwrite(str(d / f"im{i}.jpg"),
+                    (rng.rand(h, w, 3) * 255).astype(np.uint8))
+    out = str(tmp_path / "out")
+
+    from hands_tpu.cli.demo import main
+
+    rc = main(["--dir", str(d), "--batch_size", "2",
+               "--method", "hands_light", "--out", out, "--no_vis"])
+    assert rc == 0
+    for i in range(3):
+        f = np.load(os.path.join(out, f"im{i}_pred.npz"))
+        j3d = f["pred.mano.j3d.cam.r"]
+        assert j3d.shape == (21, 3) and np.all(np.isfinite(j3d))
+
+
 def test_demo_cli_ckpt_roundtrip(tmp_path):
     """--ckpt loads an orbax tree (convert_ckpt-style) by path-merge and the
     demo predictions change accordingly."""
