@@ -92,6 +92,42 @@ def test_sharded_loader_matches_single():
                     cat, np.asarray(v), err_msg=f"key {k}")
 
 
+def test_sharded_loader_packed_matches_single(tmp_path):
+    """Same shard-slicing contract on the packed mmap fast path
+    (dataset.stacked_batch), including the drop_last=False padded tail."""
+    from hands_tpu.config import default_config
+    from hands_tpu.data.datasets import SyntheticRecordDataset
+    from hands_tpu.data.device_pipeline import DeviceDataLoader
+    from hands_tpu.data.packed import PackedRecordDataset, pack_dataset
+
+    cfg = default_config("hands_light", use_render_seg_loss=False,
+                         num_workers=0)
+    base = SyntheticRecordDataset(cfg, "train", length=10, img_hw=(64, 64))
+    pack_dataset(base, str(tmp_path / "packed"))
+    ds = PackedRecordDataset(str(tmp_path / "packed"))
+    B = 4
+
+    def batches(shard, drop_last):
+        ld = DeviceDataLoader(ds, cfg, B, is_train=False, seed=0,
+                              drop_last=drop_last, num_workers=0,
+                              shard=shard)
+        return list(ld._iter_batches(np.arange(len(ds))))
+
+    for drop_last in (True, False):
+        full = batches((0, 1), drop_last)
+        h0 = batches((0, 2), drop_last)
+        h1 = batches((1, 2), drop_last)
+        assert len(full) == len(h0) == len(h1)
+        for (fs, fn), (s0, n0), (s1, n1) in zip(full, h0, h1):
+            assert n0 + n1 == fn
+            for k, v in fs.items():
+                if isinstance(v, list):
+                    continue
+                cat = np.concatenate([np.asarray(s0[k]), np.asarray(s1[k])])
+                np.testing.assert_array_equal(
+                    cat, np.asarray(v), err_msg=f"key {k}")
+
+
 def test_loader_shard_divisibility_guard():
     from hands_tpu.config import default_config
     from hands_tpu.data.datasets import SyntheticRecordDataset
