@@ -13,3 +13,30 @@ MPJPE/PA-MPJPE/pix_err evaluation suite) as an idiomatic JAX framework:
 """
 
 __version__ = "0.1.0"
+
+# lazy top-level API: `hands_tpu.Trainer` etc. without importing jax/flax
+# at package-import time (keeps `import hands_tpu` instant for CLI --help
+# and pure-host tooling)
+_LAZY = {
+    "Config": "hands_tpu.config",
+    "default_config": "hands_tpu.config",
+    "construct_args": "hands_tpu.config",
+    "fetch_model": "hands_tpu.models.registry",
+    "inference_pose": "hands_tpu.models.registry",
+    "fetch_dataset": "hands_tpu.data.datasets",
+    "fetch_dataloader": "hands_tpu.data.factory",
+    "Trainer": "hands_tpu.train.trainer",
+    "XDict": "hands_tpu.core.xdict",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'hands_tpu' has no attribute '{name}'")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
