@@ -63,6 +63,17 @@ def test_loader_one_batch():
     assert np.isfinite(np.asarray(targets["mano.j2d.norm.r"])).all()
 
 
+def test_bench_model_smoke():
+    """bench.py's measurement path itself (the artifact the driver runs):
+    build model + synthetic records + fused preprocess program and time a
+    couple of iterations at a tiny batch. Guards the bench against bitrot
+    between on-chip runs."""
+    import bench
+
+    v = bench.bench_model("hands_light", 2)
+    assert np.isfinite(v) and v > 0
+
+
 def test_rot_round_trip():
     from hands_tpu.core import rot
 
