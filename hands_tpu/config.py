@@ -287,6 +287,14 @@ def construct_args(argv=None) -> Config:
     p.add_argument("--profile_steps", type=int, default=0,
                    help="trace N train steps (jax.profiler) into "
                         "logs/<key>/trace")
+    p.add_argument("--fused_block", action="store_true",
+                   help="ViT: whole-block Pallas kernel (TPU inference, "
+                        "1.42x — BENCH_NOTES.md)")
+    p.add_argument("--quant_int8", action="store_true",
+                   help="ViT: W8A8 int8 serving dots inside the fused "
+                        "block (lossy; implies --fused_block)")
+    p.add_argument("--fast_gelu", action="store_true",
+                   help="tanh-approx GELU (lossy serving knob)")
     p.add_argument("--mute", action="store_true")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--cluster", action="store_true")
@@ -305,6 +313,9 @@ def construct_args(argv=None) -> Config:
             overrides[f_.name] = v
 
     cfg = default_config(args.method, **overrides)
+    if cfg.quant_int8 and not cfg.fused_block:
+        # the int8 dots live inside the fused-block kernel
+        cfg = cfg.replace(fused_block=True)
     if args.debug:
         cfg = cfg.replace(
             batch_size=1, num_workers=0, trainsplit="minitrain", valsplit="minival"
