@@ -13,6 +13,11 @@ def main(argv=None):
     from hands_tpu.core.xdict import device_view
 
     cfg = construct_args(argv)
+    if cfg.num_processes > 1:
+        # multi-host eval sweep: same process-group wiring as cli.train
+        from hands_tpu.parallel.distributed import initialize_from_config
+
+        cfg = initialize_from_config(cfg)
     import sys as _sys
 
     # --eval_on overrides the eval dataset (reference generic_parser.py)

@@ -20,28 +20,9 @@ def main(argv=None):
         # multi-host launch (reference: Lightning multi-node DDP,
         # scripts_method/train.py:61-72): wire the process group BEFORE any
         # device use so jax.devices() spans every host over DCN
-        from hands_tpu.parallel.distributed import initialize
+        from hands_tpu.parallel.distributed import initialize_from_config
 
-        initialize(cfg.coordinator_address or None, cfg.num_processes,
-                   cfg.process_id)
-        import jax
-
-        print(f"multi-host: process {jax.process_index()}/"
-              f"{jax.process_count()}, {jax.local_device_count()} local / "
-              f"{jax.device_count()} global devices")
-        if not cfg.exp_key and not cfg.resume_ckpt:
-            # every process must share one experiment dir (checkpoints are
-            # collective orbax saves into it): broadcast rank 0's key
-            import numpy as np
-            from jax.experimental import multihost_utils
-
-            from hands_tpu.utils.experiment import generate_exp_key
-
-            key = (generate_exp_key() if jax.process_index() == 0
-                   else "0" * 9)
-            arr = multihost_utils.broadcast_one_to_all(
-                np.frombuffer(key.encode(), dtype=np.uint8))
-            cfg = cfg.replace(exp_key=np.asarray(arr).tobytes().decode())
+        cfg = initialize_from_config(cfg)
     # NOTE: --debug must NOT enable jax_debug_nans — the data schema carries
     # NaN BY DESIGN (meta ``dist`` for non-ego records, NaN-masked metric
     # arrays mirroring the reference's np.nanmean semantics), so a global

@@ -25,6 +25,31 @@ def initialize(coordinator_address: str | None = None,
         )
 
 
+def initialize_from_config(cfg):
+    """CLI entry helper: wire the process group from Config flags
+    (``--num_processes/--process_id/--coordinator_address``) BEFORE any
+    device use, and share rank 0's experiment key so every host writes the
+    same ``logs/<key>`` tree (collective orbax checkpoints require it).
+    Returns the (possibly updated) cfg. No-op for single-process runs."""
+    if cfg.num_processes <= 1:
+        return cfg
+    initialize(cfg.coordinator_address or None, cfg.num_processes,
+               cfg.process_id)
+    print(f"multi-host: process {jax.process_index()}/"
+          f"{jax.process_count()}, {jax.local_device_count()} local / "
+          f"{jax.device_count()} global devices")
+    if not cfg.exp_key and not cfg.resume_ckpt:
+        from jax.experimental import multihost_utils
+
+        from hands_tpu.utils.experiment import generate_exp_key
+
+        key = generate_exp_key() if jax.process_index() == 0 else "0" * 9
+        arr = multihost_utils.broadcast_one_to_all(
+            np.frombuffer(key.encode(), dtype=np.uint8))
+        cfg = cfg.replace(exp_key=np.asarray(arr).tobytes().decode())
+    return cfg
+
+
 def host_shard_range(global_batch: int) -> tuple[int, int]:
     """[start, end) of the global batch this host must load."""
     per_host = global_batch // jax.process_count()
