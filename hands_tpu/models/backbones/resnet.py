@@ -31,11 +31,12 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
+    conv_cls: ModuleDef = nn.Conv
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        conv = partial(self.conv_cls, use_bias=False, dtype=self.dtype)
         norm = partial(self.norm, use_running_average=not train, dtype=self.dtype)
 
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
@@ -57,11 +58,12 @@ class Bottleneck(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
+    conv_cls: ModuleDef = nn.Conv
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        conv = partial(self.conv_cls, use_bias=False, dtype=self.dtype)
         norm = partial(self.norm, use_running_average=not train, dtype=self.dtype)
 
         y = conv(self.filters, (1, 1))(x)
@@ -87,6 +89,10 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     block_cls: Callable
     dtype: Any = jnp.float32
+    # W8A8 int8 serving convs (ops/quant.py) in every residual block; the
+    # 7x7 stem (~2% of FLOPs) stays bf16/f32 for accuracy, the standard
+    # int8-CNN recipe. Lossy + inference-only: Config.quant_int8.
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -100,21 +106,26 @@ class ResNet(nn.Module):
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
+                conv_cls = nn.Conv
+                if self.quant_int8:
+                    from hands_tpu.ops.quant import Int8Conv
+
+                    conv_cls = Int8Conv
                 x = self.block_cls(
                     filters=64 * 2**i, strides=strides, dtype=self.dtype,
-                    name=f"stage{i+1}_block{j}",
+                    conv_cls=conv_cls, name=f"stage{i+1}_block{j}",
                 )(x, train=train)
         return x  # spatial map; callers pool/flatten as needed
 
 
-def resnet18(dtype=jnp.float32, name=None) -> ResNet:
+def resnet18(dtype=jnp.float32, name=None, quant_int8=False) -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, dtype=dtype,
-                  name=name)
+                  quant_int8=quant_int8, name=name)
 
 
-def resnet50(dtype=jnp.float32, name=None) -> ResNet:
+def resnet50(dtype=jnp.float32, name=None, quant_int8=False) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype,
-                  name=name)
+                  quant_int8=quant_int8, name=name)
 
 
 BACKBONE_INFO = {

@@ -115,11 +115,12 @@ class RegressionHead(nn.Module):
         return nn.Dense(self.out_dim)(x)
 
 
-def _build_backbone(name: str, dtype, scope: str = None):
+def _build_backbone(name: str, dtype, scope: str = None,
+                    quant_int8: bool = False):
     if name == "resnet50":
-        return resnet50(dtype=dtype, name=scope)
+        return resnet50(dtype=dtype, name=scope, quant_int8=quant_int8)
     if name == "resnet18":
-        return resnet18(dtype=dtype, name=scope)
+        return resnet18(dtype=dtype, name=scope, quant_int8=quant_int8)
     if name == "vit_b_16":
         from hands_tpu.models.backbones.vit import VitB16Spatial
 
@@ -146,7 +147,8 @@ class HandsLightNet(nn.Module):
         glb_feat_map = None
         if cfg.use_glb_feat or cfg.no_crops:
             backbone = _build_backbone(cfg.backbone, dtype,
-                                       scope="glb_backbone")
+                                       scope="glb_backbone",
+                                       quant_int8=cfg.quant_int8)
             glb_feat_map = backbone(inputs["img"].astype(dtype), train=train)
             glb_feat_map = glb_feat_map.astype(jnp.float32)
             out["feat_vec"] = glb_feat_map.reshape(
@@ -203,13 +205,16 @@ class HandsLightNet(nn.Module):
         # one pass over stacked crops (shared backbone — cfg.separate_hands
         # instantiates two)
         if self.cfg.separate_hands:
-            bb_r = _build_backbone(cfg.backbone, dtype, scope="backbone_r")
-            bb_l = _build_backbone(cfg.backbone, dtype, scope="backbone_l")
+            bb_r = _build_backbone(cfg.backbone, dtype, scope="backbone_r",
+                                   quant_int8=cfg.quant_int8)
+            bb_l = _build_backbone(cfg.backbone, dtype, scope="backbone_l",
+                                   quant_int8=cfg.quant_int8)
             r_feat = bb_r(r_inp, train=train).astype(jnp.float32)
             l_feat = bb_l(l_inp, train=train).astype(jnp.float32)
         else:
             hand_backbone = _build_backbone(cfg.backbone, dtype,
-                                            scope="hand_backbone")
+                                            scope="hand_backbone",
+                                            quant_int8=cfg.quant_int8)
             rl = hand_backbone(jnp.concatenate([r_inp, l_inp], axis=0), train=train)
             rl = rl.astype(jnp.float32)
             r_feat, l_feat = rl[:B], rl[B:]
