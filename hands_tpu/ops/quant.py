@@ -52,14 +52,18 @@ def int8_conv(x, kernel, strides, padding, out_dtype=jnp.float32):
     happens here (weights constant-fold; the activation max-abs is one
     cheap reduction the VPU overlaps with the previous op).
     """
-    xq, sx = quantize_int8(x)                   # per-tensor activations
+    # per-SAMPLE activation scales: a conv never mixes batch rows, so this
+    # is strictly more accurate than per-tensor at zero extra cost (one
+    # outlier image no longer coarsens everyone's quantisation grid)
+    xq, sx = quantize_int8(x, axes=(1, 2, 3))
     wq, sw = quantize_int8(kernel, axes=(0, 1, 2))  # per-out-channel
     out = lax.conv_general_dilated(
         xq, wq, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    return (out.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+    scale = sx[:, None, None, None] * sw[None, None, None, :]
+    return (out.astype(jnp.float32) * scale).astype(out_dtype)
 
 
 class Conv(nn.Conv):
