@@ -35,24 +35,27 @@ class LeakyBottleneck(nn.Module):
     filters: int
     strides: int = 1
     dtype: Any = jnp.float32
+    conv_cls: Any = nn.Conv  # Int8Conv under Config.quant_int8 (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
+        conv = self.conv_cls
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, dtype=self.dtype, name=name
         )
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.leaky_relu(norm("bn1")(y), 0.01)
-        y = nn.Conv(self.filters, (3, 3), strides=(self.strides,) * 2,
-                    padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype)(y)
+        y = conv(self.filters, (3, 3), strides=(self.strides,) * 2,
+                 padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype)(y)
         y = nn.leaky_relu(norm("bn2")(y), 0.01)
-        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = conv(self.filters * 4, (1, 1), use_bias=False,
+                 dtype=self.dtype)(y)
         y = norm("bn3")(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.filters * 4, (1, 1),
-                               strides=(self.strides,) * 2, use_bias=False,
-                               dtype=self.dtype)(x)
+            residual = conv(self.filters * 4, (1, 1),
+                            strides=(self.strides,) * 2, use_bias=False,
+                            dtype=self.dtype)(x)
             residual = norm("bn_skip")(residual)
         return nn.leaky_relu(y + residual, 0.01)
 
@@ -81,6 +84,9 @@ class FPN(nn.Module):
     """Leaky-ReLU ResNet-50 + top-down FPN to a 32x32x256 map, gate-split."""
 
     dtype: Any = jnp.float32
+    # W8A8 serving convs in the ResNet trunk only (the FLOPs); stem,
+    # laterals and smooth convs stay bf16/f32 (biased / accuracy-critical)
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -93,11 +99,17 @@ class FPN(nn.Module):
         c1 = nn.leaky_relu(norm("bn_stem")(c1), 0.01)
         c1 = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
+        conv_cls = nn.Conv
+        if self.quant_int8:
+            from hands_tpu.ops.quant import Int8Conv
+
+            conv_cls = Int8Conv
+
         def stage(z, filters, blocks, stride, name):
             for j in range(blocks):
                 z = LeakyBottleneck(filters, stride if j == 0 else 1,
-                                    dtype=self.dtype, name=f"{name}_b{j}")(
-                    z, train=train)
+                                    dtype=self.dtype, conv_cls=conv_cls,
+                                    name=f"{name}_b{j}")(z, train=train)
             return z
 
         c2 = stage(c1, 64, 3, 1, "layer1")
@@ -374,7 +386,9 @@ class HandOccNetNet(nn.Module):
                 kpe_emb = jnp.broadcast_to(
                     e[:, None, :], (2 * B, 32 * 32, 256))
 
-        p_feats, s_feats = FPN(dtype=dtype, name="fpn")(x, train=train)
+        p_feats, s_feats = FPN(dtype=dtype, name="fpn",
+                               quant_int8=cfg.get("quant_int8", False))(
+            x, train=train)
         feats = InjectionTransformer(injection=True, dtype=dtype, name="fit")(
             s_feats, p_feats, kpe_emb=kpe_emb)
         feats = InjectionTransformer(injection=False, dtype=dtype, name="set")(

@@ -67,6 +67,27 @@ def test_resnet_quant_int8_forward_and_params_match():
     assert cos > 0.98, cos
 
 
+def test_handoccnet_fpn_int8_forward():
+    """HandOccNet FPN trunk under quant_int8: identical variables tree,
+    close gated-feature outputs with the SAME params."""
+    from hands_tpu.models.handoccnet_light import FPN
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 128, 128, 3) * 0.5, jnp.float32)
+    m_f = FPN()
+    m_q = FPN(quant_int8=True)
+    v = m_f.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.structure(v)
+            == jax.tree.structure(m_q.init(jax.random.PRNGKey(0), x)))
+    p_f, _ = m_f.apply(v, x)
+    p_q, _ = m_q.apply(v, x)
+    p_f, p_q = np.asarray(p_f), np.asarray(p_q)
+    assert np.all(np.isfinite(p_q)) and p_q.shape == p_f.shape
+    cos = (p_f * p_q).sum() / (
+        np.linalg.norm(p_f) * np.linalg.norm(p_q) + 1e-12)
+    assert cos > 0.98, cos
+
+
 def test_hands_light_int8_serving_forward():
     """Full WildHands forward with Config.quant_int8: runs, finite, and
     close to the f32-conv forward with the SAME params."""
