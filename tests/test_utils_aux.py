@@ -66,6 +66,33 @@ def test_viewer_gif_and_strip(tmp_path):
     assert os.path.getsize(gif) > 0 and os.path.getsize(strip) > 0
 
 
+def test_experiment_rank0_gating(tmp_path, monkeypatch):
+    """Under multi-host only rank 0 writes logs (Lightning rank_zero_only
+    convention); non-zero ranks still get dirs/paths for the collective
+    checkpoint saves."""
+    import jax
+
+    from hands_tpu.config import default_config
+    from hands_tpu.utils import experiment as exp_mod
+
+    cfg = default_config("hands_light", exp_key="rankgate1")
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    e = exp_mod.Experiment(cfg, root=str(tmp_path))
+    e.log_dict({"loss": 1.0}, step=1)
+    e.close()
+    assert os.path.isdir(e.ckpt_dir)  # paths exist for collective saves
+    assert not os.path.exists(os.path.join(e.dir, "metrics.jsonl"))
+    assert not os.path.exists(os.path.join(e.dir, "args.json"))
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    e0 = exp_mod.Experiment(cfg.replace(exp_key="rankgate0"),
+                            root=str(tmp_path))
+    e0.log_dict({"loss": 1.0}, step=1)
+    e0.close()
+    assert os.path.exists(os.path.join(e0.dir, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(e0.dir, "args.json"))
+
+
 def test_sys_utils(tmp_path):
     from hands_tpu.utils.sys_utils import copy_repo, mkdir, reset_all_seeds
 
