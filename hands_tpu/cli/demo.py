@@ -162,8 +162,8 @@ def run_demo(argv=None):
         args.method,
         use_render_seg_loss=False, use_grasp_loss=False,
         compute_dtype=args.dtype,
-        fused_block=args.fused_block or args.int8,
-        quant_int8=args.int8,
+        fused_block=args.fused_block,
+        quant_int8=args.int8,  # default_config implies fused_block
         fast_gelu=args.fast_gelu,
     )
     os.makedirs(args.out, exist_ok=True)

@@ -238,6 +238,10 @@ def default_config(method: str = "hands_light", **overrides) -> Config:
     kw = dict(_METHOD_DEFAULTS[method])
     kw["method"] = method
     kw.update(overrides)
+    if kw.get("quant_int8") and not kw.get("fused_block"):
+        # the ViT int8 dots live inside the fused-block kernel (harmless
+        # no-op for conv backbones, which quantise via ops/quant.py)
+        kw["fused_block"] = True
     return Config(**kw)
 
 
@@ -313,9 +317,6 @@ def construct_args(argv=None) -> Config:
             overrides[f_.name] = v
 
     cfg = default_config(args.method, **overrides)
-    if cfg.quant_int8 and not cfg.fused_block:
-        # the int8 dots live inside the fused-block kernel
-        cfg = cfg.replace(fused_block=True)
     if args.debug:
         cfg = cfg.replace(
             batch_size=1, num_workers=0, trainsplit="minitrain", valsplit="minival"

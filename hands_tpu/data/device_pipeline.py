@@ -641,11 +641,8 @@ class DeviceDataLoader:
         if nb * B > n:
             g = np.concatenate([order, np.repeat(order[-1:], nb * B - n)])
         local = g.reshape(nb, B)[:, pid * bl:(pid + 1) * bl].reshape(-1)
-        inner = (self._iter_stacked_batches
-                 if hasattr(self.dataset, "stacked_batch")
-                 else None)
-        if inner is not None:
-            batches = inner(local, step=bl)
+        if hasattr(self.dataset, "stacked_batch"):
+            batches = self._iter_stacked_batches(local, step=bl)
         else:
             batches = ((stack_records(recs), len(recs)) for recs in
                        self._iter_record_batches(local, step=bl))

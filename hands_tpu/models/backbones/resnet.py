@@ -103,14 +103,12 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        from hands_tpu.ops.quant import serving_conv_cls
+
+        conv_cls = serving_conv_cls(self.quant_int8)
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
-                conv_cls = nn.Conv
-                if self.quant_int8:
-                    from hands_tpu.ops.quant import Int8Conv
-
-                    conv_cls = Int8Conv
                 x = self.block_cls(
                     filters=64 * 2**i, strides=strides, dtype=self.dtype,
                     conv_cls=conv_cls, name=f"stage{i+1}_block{j}",

@@ -99,11 +99,9 @@ class FPN(nn.Module):
         c1 = nn.leaky_relu(norm("bn_stem")(c1), 0.01)
         c1 = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
-        conv_cls = nn.Conv
-        if self.quant_int8:
-            from hands_tpu.ops.quant import Int8Conv
+        from hands_tpu.ops.quant import serving_conv_cls
 
-            conv_cls = Int8Conv
+        conv_cls = serving_conv_cls(self.quant_int8)
 
         def stage(z, filters, blocks, stride, name):
             for j in range(blocks):

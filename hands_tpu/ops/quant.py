@@ -13,8 +13,9 @@ with int8 operands is the right formulation — measured by
 Scheme (the standard production-int8 recipe for CNNs):
 - weights: per-output-channel symmetric scales, quantised from the f32
   params at apply time (XLA constant-folds this once per compile),
-- activations: per-tensor dynamic symmetric scale (max-abs of the batch),
-- accumulate int32, dequant by ``act_scale * w_scale[c]``.
+- activations: per-SAMPLE dynamic symmetric scales (convs never mix batch
+  rows, so this is strictly more accurate than per-tensor at zero cost),
+- accumulate int32, dequant by ``act_scale[n] * w_scale[c]``.
 
 Lossy serving mode — off by default; enable via ``Config.quant_int8``.
 """
@@ -95,3 +96,9 @@ class Conv(nn.Conv):
 
 
 Int8Conv = Conv
+
+
+def serving_conv_cls(quant_int8: bool):
+    """The conv module class for a serving config: ``Int8Conv`` under
+    ``Config.quant_int8``, plain ``nn.Conv`` otherwise."""
+    return Int8Conv if quant_int8 else nn.Conv
