@@ -242,12 +242,38 @@ def bench_preprocess(batch_size: int = 64):
     return batch_size / dt
 
 
+def _probe_backend(timeout_s: int = 240):
+    """Fail fast (with a clear JSON line) if the device backend is
+    unreachable — a hung tunnel otherwise blocks jax.devices() forever,
+    inside native code that never releases the GIL (so an in-process
+    SIGALRM can't interrupt it; probe in a subprocess instead)."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            timeout=timeout_s, capture_output=True, text=True)
+        if out.returncode == 0:
+            return
+        err = (out.stderr or out.stdout).strip()[-200:]
+    except subprocess.TimeoutExpired:
+        err = f"jax backend init did not complete in {timeout_s}s"
+    print(json.dumps({
+        "metric": "bench aborted: device backend unreachable",
+        "value": 0.0, "unit": "crops/sec", "vs_baseline": 0.0,
+        "error": err,
+    }))
+    raise SystemExit(1)
+
+
 def main():
     # persistent compile cache (works for TPU too): repeated bench runs with
     # unchanged programs skip the slow remote compile
     jax.config.update("jax_compilation_cache_dir", "/tmp/hands_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _probe_backend()
 
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="headline",
