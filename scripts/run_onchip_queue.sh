@@ -16,7 +16,7 @@ run() {
     tail -n 25 "$OUT/$name.log"
 }
 
-python -c "import jax; print(jax.devices())" || {
+timeout 240 python -c "import jax; print(jax.devices())" || {
     echo "TPU not reachable; aborting"; exit 1; }
 
 run int8_fastgelu_accuracy python scripts/vith_int8_accuracy.py --fast_gelu
