@@ -84,6 +84,53 @@ def test_fsdp_train_step_matches_replicated(devices):
     _ = fsdp_mod
 
 
+def test_fsdp_grad_accumulation_matches_replicated(devices):
+    """FSDP x optax.MultiSteps (cfg.acc_grad=2): the accumulator tree is
+    params-shaped so the shape-rule shardings cover it; the update must be
+    held until the 2nd micro-step and match the replicated run."""
+    from hands_tpu.data.synthetic import make_batch
+    from hands_tpu.models.hands_light import HandsLightModel
+
+    cfg = default_config(
+        "hands_light", backbone="resnet18", compute_dtype="float32",
+        batch_size=2, img_res=160, img_res_ds=160, acc_grad=2,
+        use_render_seg_loss=False, use_grasp_loss=False,
+    )
+    batch = make_batch(cfg, batch_size=2, seed=0, np_arrays=True)
+    model = HandsLightModel(cfg)
+    inputs, _, meta = batch
+    variables = model.init(jax.random.PRNGKey(0), inputs, meta)
+
+    def two_micro_steps(state, step):
+        s1, _ = step(state, batch, jax.random.PRNGKey(1))
+        s2, logs = step(s1, batch, jax.random.PRNGKey(2))
+        return s1, s2, logs
+
+    state_ref = create_train_state(cfg, variables)
+    step_ref = make_train_step(model, cfg, donate=False)
+    _, ref2, _ = two_micro_steps(state_ref, step_ref)
+
+    mesh = make_mesh((2,), ("data",), devices=devices[:2])
+    state = create_train_state(cfg, variables)
+    state = jax.device_put(
+        state, fsdp_shardings(state, mesh, min_shard_elems=1))
+    step = make_train_step(model, cfg, donate=False)
+    with mesh:
+        s1, s2, logs = two_micro_steps(state, step)
+
+    assert np.isfinite(float(logs["loss"]))
+    p0 = jax.tree.leaves(state.params)[0]
+    # micro-step 1 holds the update; micro-step 2 applies it
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(s1.params)[0]),
+                                  np.asarray(p0))
+    assert np.abs(np.asarray(jax.tree.leaves(s2.params)[0])
+                  - np.asarray(p0)).max() > 0
+    for a, b in zip(jax.tree.leaves(ref2.params),
+                    jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_trainer_fsdp_fit(tmp_path, monkeypatch, devices):
     """Trainer with Config.fsdp=True: one epoch end-to-end (sharded state,
     sharded batches, eval epoch, checkpointing of sharded arrays)."""
