@@ -52,7 +52,7 @@ def _time(fn, *args, iters=20):
 
 def bench_model(method: str, batch_size: int, vit_variant: str = "h",
                 fused_preprocess: bool = True, int8: bool = False,
-                fast_gelu: bool = False):
+                fast_gelu: bool = False, int8_static: bool = False):
     from hands_tpu.config import default_config
     from hands_tpu.data.datasets import SyntheticRecordDataset
     from hands_tpu.data.device_pipeline import DevicePreprocessor, stack_records
@@ -67,7 +67,11 @@ def bench_model(method: str, batch_size: int, vit_variant: str = "h",
         # (1.42x, BENCH_NOTES.md)
         fused_block=method == "hamer_vith",
         # + W8A8 int8 MXU dots inside the fused block (lossy serving mode)
-        quant_int8=int8,
+        quant_int8=int8 or int8_static,
+        # static-calibrated per-channel activation scales (no in-kernel
+        # max-reduce/rescale; calibrated below on the same synthetic
+        # distribution)
+        quant_int8_static=int8_static,
         # tanh-approx GELU (lossy ~1e-3; pairs naturally with the already
         # lossy int8 serving mode)
         fast_gelu=fast_gelu,
@@ -94,6 +98,22 @@ def bench_model(method: str, batch_size: int, vit_variant: str = "h",
     inputs0, _, meta0 = pre._process(
         jax.tree.map(lambda x: x[:2], raw), key)
     variables = model.init(jax.random.PRNGKey(0), inputs0, meta0)
+
+    if int8_static:
+        # calibrate on the same synthetic distribution the bench serves
+        # (2 batches; the scales are exact-coverage per-channel maxima)
+        from hands_tpu.cli.calibrate import calibrate_scales
+        from hands_tpu.ops import calibration as calib_lib
+
+        calib_batches = []
+        for b in range(2):
+            ib, _, mb = pre._process(raw, jax.random.PRNGKey(b + 1))
+            calib_batches.append((ib, mb))
+        scales = calibrate_scales("hamer_vith", variables, calib_batches,
+                                  vit_variant=vit_variant)
+        variables = dict(variables)
+        variables["params"] = calib_lib.inject_scales(
+            variables["params"], scales)
 
     if fused_preprocess:
         fn = jax.jit(fused)
@@ -292,6 +312,9 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="W8A8 int8 serving mode (hamer_vith: int8 dots "
                         "inside the fused-block kernel)")
+    p.add_argument("--int8_static", action="store_true",
+                   help="static-calibrated int8 activation scales "
+                        "(hamer_vith; calibrates on the bench batch)")
     p.add_argument("--fast_gelu", action="store_true",
                    help="tanh-approx GELU (~1e-3 activation deviation; "
                         "stacks with --int8 for the fastest serving mode)")
@@ -320,6 +343,17 @@ def main():
             "value": round(float(vith8), 1),
             "unit": "crops/sec",
             "vs_baseline": round(float(vith8) / BASELINE, 3),
+        }), flush=True)
+        vith8s = bench_model("hamer_vith", 256, int8_static=True,
+                             fast_gelu=True)
+        print(json.dumps({
+            "metric": "hamer_vith bs256 int8-W8A8 static-calibrated "
+                      "serving crops/sec/chip (per-channel activation "
+                      "scales folded into LN/weights, fast_gelu; lossy — "
+                      "accuracy deltas in BENCH_NOTES.md)",
+            "value": round(float(vith8s), 1),
+            "unit": "crops/sec",
+            "vs_baseline": round(float(vith8s) / BASELINE, 3),
         }), flush=True)
         wild = bench_model("hands_light", 64)
         print(json.dumps({
@@ -358,10 +392,12 @@ def main():
         bs = args.batch_size if args.model != "hamer_vith" else max(
             args.batch_size, 256)
         value = bench_model(args.model, bs, int8=args.int8,
-                            fast_gelu=args.fast_gelu)
+                            fast_gelu=args.fast_gelu,
+                            int8_static=args.int8_static)
         metric = (f"{args.model} bs{bs} inference crops/sec/chip "
                   f"(fused on-device preprocessing"
                   f"{', int8 W8A8' if args.int8 else ''}"
+                  f"{', int8 static-calibrated' if args.int8_static else ''}"
                   f"{', fast_gelu' if args.fast_gelu else ''})")
         unit = "crops/sec"
 

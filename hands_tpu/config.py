@@ -120,6 +120,15 @@ class Config:
     # dynamic activation quantisation traffic eats most of the MXU int8
     # gain — see BENCH_NOTES.md); ~1% relative output deviation
     quant_int8: bool = False
+    # static-calibrated per-channel int8 activation scales inside the
+    # fused block (implies quant_int8): removes the dynamic in-kernel
+    # max-reduce/rescale. Requires a calibration pass
+    # (ops/calibration.py / cli/calibrate.py) to fill the act_scale_*
+    # params before serving
+    quant_int8_static: bool = False
+    # internal: calibration forward pass — plain bf16 XLA path sowing
+    # per-channel activation maxima into the quant_stats collection
+    quant_calibrate: bool = False
     # fully-fused ViT transformer-block Pallas kernel at inference: whole
     # block VMEM-resident, 1.42x on-chip at ViT-H bs256 (571 vs 401 crops/s,
     # BENCH_NOTES.md); same math/rounding points as the XLA block (per-block
@@ -238,6 +247,9 @@ def default_config(method: str = "hands_light", **overrides) -> Config:
     kw = dict(_METHOD_DEFAULTS[method])
     kw["method"] = method
     kw.update(overrides)
+    if kw.get("quant_int8_static"):
+        # static scales live inside the int8 fused-block kernel
+        kw["quant_int8"] = True
     if kw.get("quant_int8") and not kw.get("fused_block"):
         # the ViT int8 dots live inside the fused-block kernel (harmless
         # no-op for conv backbones, which quantise via ops/quant.py)
@@ -297,6 +309,9 @@ def construct_args(argv=None) -> Config:
     p.add_argument("--quant_int8", action="store_true",
                    help="ViT: W8A8 int8 serving dots inside the fused "
                         "block (lossy; implies --fused_block)")
+    p.add_argument("--quant_int8_static", action="store_true",
+                   help="ViT: static-calibrated int8 activation scales "
+                        "(implies --quant_int8; run cli/calibrate first)")
     p.add_argument("--fast_gelu", action="store_true",
                    help="tanh-approx GELU (lossy serving knob)")
     p.add_argument("--mute", action="store_true")

@@ -72,6 +72,19 @@ def _dense(features, dtype, quant_int8: bool, name=None):
     return nn.Dense(features, dtype=dtype, name=name)
 
 
+def _sow_amax(mod: nn.Module, name: str, x):
+    """Record per-CHANNEL max-abs of an activation into the
+    ``quant_stats`` collection (static-int8 calibration,
+    ``ops/calibration.py``). reduce_fn=max makes repeated applies (and
+    multiple calibration batches within one apply) accumulate the running
+    maximum."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                   axis=tuple(range(x.ndim - 1)))
+    mod.sow("quant_stats", name, amax,
+            init_fn=lambda: jnp.zeros((), jnp.float32),
+            reduce_fn=jnp.maximum)
+
+
 class MlpBlock(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -82,12 +95,16 @@ class MlpBlock(nn.Module):
     # checkpoint-level parity matters
     fast_gelu: bool = False
     quant_int8: bool = False
+    quant_calibrate: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = _dense(self.hidden_dim, self.dtype, self.quant_int8,
                    name="Dense_0")(x)
         x = nn.gelu(x, approximate=self.fast_gelu)
+        if self.quant_calibrate:
+            # static-int8 quant point: MLP second-dense input (GELU out)
+            _sow_amax(self, "amax_mlp2", x)
         return _dense(self.out_dim, self.dtype, self.quant_int8,
                       name="Dense_1")(x)
 
@@ -97,6 +114,14 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
     quant_int8: bool = False
     fused_attn: bool = False
+    quant_calibrate: bool = False
+    # sequence parallelism: when a Mesh is given, attention runs token-
+    # sharded ring attention (parallel/sequence.py) over `ring_axis` —
+    # K/V blocks rotate via ppermute, full K/V never resident. See the
+    # BENCH_NOTES "sequence parallelism" note for when this pays (not at
+    # the reference's 192-token sequences).
+    ring_mesh: Any = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, x):
@@ -106,7 +131,16 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
         scale = head_dim**-0.5
-        if self.fused_attn:
+        if self.ring_mesh is not None and not self.is_initializing():
+            from hands_tpu.parallel.sequence import ring_attention
+
+            # f32 accumulation (the online-softmax exp/rescale chain is
+            # precision-sensitive); matches the XLA path's f32 softmax
+            out = ring_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), self.ring_mesh, self.ring_axis)
+            out = out.astype(x.dtype).reshape(B, N, C)
+        elif self.fused_attn:
             # one VMEM-resident Pallas kernel: no (B, H, N, N) HBM tensor
             from hands_tpu.ops.attention_pallas import mha_fused
 
@@ -116,6 +150,9 @@ class Attention(nn.Module):
             attn = jax.nn.softmax(attn.astype(jnp.float32),
                                   axis=-1).astype(x.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        if self.quant_calibrate:
+            # static-int8 quant point: proj input (concatenated heads)
+            _sow_amax(self, "amax_proj", out)
         return _dense(C, self.dtype, self.quant_int8, name="proj")(out)
 
 
@@ -131,16 +168,49 @@ class Block(nn.Module):
     # only (no custom VJP); falls back to the XLA path at init time so the
     # param tree is identical.
     fused_block: bool = False
+    # static-calibrated per-channel int8 activation scales (with
+    # quant_int8 + fused_block): adds four act_scale_* params per block,
+    # filled by ops/calibration.py. Removes the dynamic kernel's in-kernel
+    # max-reduce/rescale (BENCH_NOTES "static int8").
+    quant_static: bool = False
+    # calibration pass: run the plain bf16 XLA path and sow per-channel
+    # activation maxima into the `quant_stats` collection
+    quant_calibrate: bool = False
+    # sequence-parallel ring attention over this mesh (see Attention)
+    ring_mesh: Any = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, x):
+        C = x.shape[-1]
+        hidden = int(C * self.mlp_ratio)
+        act_scales = None
+        if self.quant_static:
+            ones = nn.initializers.ones
+            act_scales = {
+                "qkv": self.param("act_scale_qkv", ones, (C,), jnp.float32),
+                "proj": self.param("act_scale_proj", ones, (C,),
+                                   jnp.float32),
+                "mlp1": self.param("act_scale_mlp1", ones, (C,),
+                                   jnp.float32),
+                "mlp2": self.param("act_scale_mlp2", ones, (hidden,),
+                                   jnp.float32),
+            }
         if (self.fused_block and not self.is_initializing()
+                and not self.quant_calibrate
                 and self.dtype == jnp.bfloat16):
             from hands_tpu.ops.vit_block_pallas import (
                 block_params_from_flax, vit_block_fused_int8,
-                vit_block_fused_trainable)
+                vit_block_fused_int8_static, vit_block_fused_trainable)
 
             flat = block_params_from_flax(self.variables["params"])
+            if self.quant_int8 and self.quant_static:
+                # calibrated W8A8: per-channel static activation scales
+                # folded into LN params / weights outside the kernel —
+                # quantisation in-kernel is a bare round/clip/cast
+                return vit_block_fused_int8_static(
+                    x, flat, act_scales, num_heads=self.num_heads,
+                    fast_gelu=self.fast_gelu).astype(x.dtype)
             if self.quant_int8:
                 # quant_int8 + fused_block = the W8A8 kernel (int8 MXU
                 # dots, per-token activation scales); lossy serving mode,
@@ -153,15 +223,25 @@ class Block(nn.Module):
             # remat by construction — do NOT wrap in nn.remat on top)
             return vit_block_fused_trainable(
                 x, flat, self.num_heads, self.fast_gelu).astype(x.dtype)
-        C = x.shape[-1]
+        # the calibration pass records fp activation statistics, so the
+        # int8 sub-paths are forced off under it
+        calib = self.quant_calibrate and not self.is_initializing()
+        int8 = self.quant_int8 and not calib
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        if calib:
+            _sow_amax(self, "amax_qkv", y)  # quant point: qkv input
         x = x + Attention(self.num_heads, dtype=self.dtype,
-                          quant_int8=self.quant_int8,
-                          fused_attn=self.fused_attn, name="attn")(y)
+                          quant_int8=int8, quant_calibrate=calib,
+                          fused_attn=self.fused_attn,
+                          ring_mesh=self.ring_mesh,
+                          ring_axis=self.ring_axis, name="attn")(y)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
-        x = x + MlpBlock(int(C * self.mlp_ratio), C, dtype=self.dtype,
+        if calib:
+            _sow_amax(self, "amax_mlp1", y)  # quant point: MLP input
+        x = x + MlpBlock(hidden, C, dtype=self.dtype,
                          fast_gelu=self.fast_gelu,
-                         quant_int8=self.quant_int8, name="mlp")(y)
+                         quant_int8=int8, quant_calibrate=calib,
+                         name="mlp")(y)
         return x
 
 
@@ -175,13 +255,21 @@ class ScanBlock(nn.Module):
     quant_int8: bool = False
     fused_attn: bool = False
     fused_block: bool = False
+    quant_static: bool = False
+    quant_calibrate: bool = False
+    ring_mesh: Any = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, x, _):
         return Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
                      fast_gelu=self.fast_gelu, quant_int8=self.quant_int8,
                      fused_attn=self.fused_attn,
-                     fused_block=self.fused_block, name="block")(x), None
+                     fused_block=self.fused_block,
+                     quant_static=self.quant_static,
+                     quant_calibrate=self.quant_calibrate,
+                     ring_mesh=self.ring_mesh, ring_axis=self.ring_axis,
+                     name="block")(x), None
 
 
 class ViTBackbone(nn.Module):
@@ -206,6 +294,14 @@ class ViTBackbone(nn.Module):
     fused_attn: bool = False
     # whole-block Pallas kernel (VERDICT r2 #1); inference-only, bf16
     fused_block: bool = False
+    # static-calibrated int8 activation scales (adds act_scale_* params;
+    # fill them with ops/calibration.py before serving)
+    quant_static: bool = False
+    # calibration pass: sow per-channel activation maxima (quant_stats)
+    quant_calibrate: bool = False
+    # sequence-parallel ring attention over this mesh (parallel/sequence.py)
+    ring_mesh: Any = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, x, kpe_emb: Optional[jnp.ndarray] = None,
@@ -243,7 +339,9 @@ class ViTBackbone(nn.Module):
             inner = nn.remat(ScanBlock) if self.use_checkpoint else ScanBlock
             scanned = nn.scan(
                 inner,
-                variable_axes={"params": 0},
+                # quant_stats: calibration amax sown per block, stacked to
+                # (depth, C) along the scan axis (ops/calibration.py)
+                variable_axes={"params": 0, "quant_stats": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=cfg["depth"],
             )
@@ -252,6 +350,10 @@ class ViTBackbone(nn.Module):
                            quant_int8=self.quant_int8,
                            fused_attn=self.fused_attn,
                            fused_block=self.fused_block,
+                           quant_static=self.quant_static,
+                           quant_calibrate=self.quant_calibrate,
+                           ring_mesh=self.ring_mesh,
+                           ring_axis=self.ring_axis,
                            name="blocks")(x, None)
         else:
             block = nn.checkpoint(Block) if self.use_checkpoint else Block
@@ -260,7 +362,12 @@ class ViTBackbone(nn.Module):
                           fast_gelu=self.fast_gelu,
                           quant_int8=self.quant_int8,
                           fused_attn=self.fused_attn,
-                          fused_block=self.fused_block, name=f"block{i}")(x)
+                          fused_block=self.fused_block,
+                          quant_static=self.quant_static,
+                          quant_calibrate=self.quant_calibrate,
+                          ring_mesh=self.ring_mesh,
+                          ring_axis=self.ring_axis,
+                          name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="last_norm")(x)
         return x.reshape(B, hp, wp, C)
 

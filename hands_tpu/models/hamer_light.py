@@ -129,6 +129,9 @@ class HamerNet(nn.Module):
             fast_gelu=bool(cfg.get("fast_gelu", False)),
             quant_int8=bool(cfg.get("quant_int8", False)) and not train,
             fused_block=fused_block,
+            quant_static=bool(cfg.get("quant_int8_static", False)),
+            quant_calibrate=(bool(cfg.get("quant_calibrate", False))
+                             and not train),
             name="backbone",
         )
         feat = vit(x, kpe_emb=kpe_emb, train=train)  # (2B, 16, 12, C)

@@ -272,8 +272,106 @@ def quantize_weight_int8(w):
     return jnp.round(w32 / s).astype(jnp.int8), s
 
 
+def _quant_static(a32):
+    """Quantise an f32 tensor already expressed in the quantised domain
+    (the static 1/scale is folded into the producing op): bare
+    round/clip/cast — no reduce, no rescale."""
+    return jnp.clip(jnp.round(a32), -127.0, 127.0).astype(jnp.int8)
+
+
+def _vit_block_int8_static_kernel(
+    x_ref, ln1_s, ln1_b, wqkv_q, dqkv, bqkv, inv_proj, wproj_q, dproj,
+    bproj, ln2_s, ln2_b, w1_q, d1, b1, inv_mlp2, w2_q, d2, b2,
+    out_ref, o_scratch,
+    *, num_heads: int, fast_gelu: bool,
+):
+    """Static-calibrated W8A8 variant of ``_vit_block_int8_kernel``.
+
+    VERDICT r3 #1: the dynamic kernel burns VPU/HBM on a per-token max-abs
+    reduce + per-row rescale at each of the four quantisation points. Here
+    the per-CHANNEL activation scales come from offline calibration
+    (``models/backbones/vit.py`` sow points + ``ops/calibration.py``) and
+    are folded OUTSIDE the kernel:
+
+    - qkv / MLP-in: 1/s is folded into the producing LayerNorm's
+      scale+bias, so the LN output lands directly in the quantised domain
+      (quantisation = one round/clip/cast, nothing else);
+    - attention-out / GELU-out: 1/s is a per-channel vector multiply
+      (replacing the dynamic reduce+divide);
+    - the dequant side absorbs diag(s_act) into the weight matrix before
+      per-output-channel weight quantisation (done in the wrapper), so the
+      epilogue stays one per-column multiply — identical to the dynamic
+      kernel's weight-scale multiply.
+
+    Net in-kernel cost per dense op: round+clip+cast (and one broadcast
+    multiply for the two non-LN points) — the minimum any int8 path pays.
+
+    Further cost choices vs the dynamic kernel (each measured on-chip,
+    BENCH_NOTES "static int8"):
+    - bf16 residual stream (like the bf16 PARITY kernel's rounding points;
+      the dynamic kernel kept it f32) — halves the (R, C) VPU/VMEM
+      traffic at every residual/LN touch,
+    - probs cast to bf16 for the p@v dot (full-rate MXU instead of the
+      f32 unit; probs are in [0,1], quantisation noise dominates),
+    - attention output quantised per-head AT THE WRITE (int8 scratch,
+      1/2 the bf16 scratch bytes; the per-channel 1/s rides the same
+      write).
+    """
+    TB, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    R = TB * N
+    bf16 = jnp.bfloat16
+
+    def idot(q, wq_ref, dq_ref, b_ref):
+        acc = jax.lax.dot_general(
+            q, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * dq_ref[:] + b_ref[:]
+
+    x = x_ref[:]
+    x32 = x.astype(jnp.float32).reshape(R, C)
+
+    # ---- LN1 (scale/bias pre-divided by s_qkv) -> already-quantised domain
+    qy = _quant_static(_layernorm_f32(x32, ln1_s[:], ln1_b[:]))
+    qkv = idot(qy, wqkv_q, dqkv, bqkv).astype(bf16).reshape(TB, N, 3 * C)
+
+    # ---- attention (bf16 MXU logits + p@v, f32 softmax)
+    scale = D**-0.5
+    inv_proj_f = inv_proj[:]
+    for h in range(H):
+        qh = qkv[:, :, h * D:(h + 1) * D] * jnp.asarray(scale, bf16)
+        kh = qkv[:, :, C + h * D:C + (h + 1) * D]
+        vh = qkv[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        sh = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ph = jax.nn.softmax(sh, axis=-1).astype(bf16)
+        oh = jax.lax.dot_general(
+            ph, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # quantise at the write: per-channel 1/s folded into the store
+        o_scratch[:, :, h * D:(h + 1) * D] = _quant_static(
+            oh * inv_proj_f[h * D:(h + 1) * D])
+
+    # ---- int8 proj + bf16 residual (the bf16 kernel's rounding point)
+    qo = o_scratch[:].reshape(R, C)
+    x1 = x + idot(qo, wproj_q, dproj, bproj) \
+        .astype(bf16).reshape(TB, N, C)
+
+    # ---- LN2 (pre-scaled) + int8 MLP
+    x1_32 = x1.astype(jnp.float32).reshape(R, C)
+    qy2 = _quant_static(_layernorm_f32(x1_32, ln2_s[:], ln2_b[:]))
+    hmid = _gelu_mosaic(idot(qy2, w1_q, d1, b1), fast_gelu)
+    qh = _quant_static(hmid * inv_mlp2[:])
+    out = x1 + idot(qh, w2_q, d2, b2).astype(bf16).reshape(TB, N, C)
+    out_ref[:] = out
+
+
 def _pick_tile(B: int) -> int:
-    for tb in (4, 2):
+    # TB=8 is the measured optimum (BENCH_NOTES "Block tile sweep": int8
+    # 8.99 ms vs 9.35 at TB=4; TB=16 no longer closes against VMEM)
+    for tb in (8, 4, 2):
         if B % tb == 0:
             return tb
     return 1
@@ -470,6 +568,170 @@ def vit_block_fused_int8(x, params, *, num_heads: int,
         w1_q, s1, params["b1"].astype(f32),
         w2_q, s2, params["b2"].astype(f32),
     )
+
+
+def fold_static_scales(params: dict, act_scales: dict) -> dict:
+    """Fold per-channel static activation scales into the block operands.
+
+    ``act_scales``: dict with keys ``qkv`` (C,), ``proj`` (C,), ``mlp1``
+    (C,), ``mlp2`` (hidden,) — f32 scales (quantised value = x / s), from
+    ``ops/calibration.py``. Returns the flat operand dict
+    ``vit_block_fused_int8_static`` consumes:
+
+    - LN scale/bias divided by the consumer's activation scale (the LN
+      output lands in the quantised domain),
+    - weights premultiplied by diag(s_act) along the contraction axis,
+      THEN weight-quantised per output channel (so the activation scales
+      ride the existing per-column dequant multiply — zero extra epilogue
+      cost, and per-channel activation granularity instead of the dynamic
+      kernel's per-token or Int8Dense's per-tensor),
+    - 1/s vectors for the two points whose producer is not a LayerNorm
+      (attention-out, GELU-out).
+
+    All pure elementwise/weight-sized ops: jit once with the weights and
+    the result is reusable across serving calls (``prepare`` once), or
+    leave inline and XLA recomputes ~100 MB of elementwise per block per
+    batch — measured immaterial at bs256 next to the matmuls.
+    """
+    f32 = jnp.float32
+    s_qkv = act_scales["qkv"].astype(f32)
+    s_proj = act_scales["proj"].astype(f32)
+    s_mlp1 = act_scales["mlp1"].astype(f32)
+    s_mlp2 = act_scales["mlp2"].astype(f32)
+
+    def absorb(w, s_in):
+        return quantize_weight_int8(w.astype(f32) * s_in[:, None])
+
+    wqkv_q, dqkv = absorb(params["wqkv"], s_qkv)
+    wproj_q, dproj = absorb(params["wproj"], s_proj)
+    w1_q, d1 = absorb(params["w1"], s_mlp1)
+    w2_q, d2 = absorb(params["w2"], s_mlp2)
+    return {
+        "ln1_s": params["ln1_scale"].astype(f32) / s_qkv,
+        "ln1_b": params["ln1_bias"].astype(f32) / s_qkv,
+        "wqkv_q": wqkv_q, "dqkv": dqkv,
+        "bqkv": params["bqkv"].astype(f32),
+        "inv_proj": 1.0 / s_proj,
+        "wproj_q": wproj_q, "dproj": dproj,
+        "bproj": params["bproj"].astype(f32),
+        "ln2_s": params["ln2_scale"].astype(f32) / s_mlp1,
+        "ln2_b": params["ln2_bias"].astype(f32) / s_mlp1,
+        "w1_q": w1_q, "d1": d1, "b1": params["b1"].astype(f32),
+        "inv_mlp2": 1.0 / s_mlp2,
+        "w2_q": w2_q, "d2": d2, "b2": params["b2"].astype(f32),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "fast_gelu", "interpret", "tile"))
+def vit_block_fused_int8_static(x, params, act_scales, *, num_heads: int,
+                                fast_gelu: bool = False,
+                                interpret: bool = False,
+                                tile: int | None = None):
+    """Static-calibrated W8A8 serving block (VERDICT r3 #1).
+
+    Same param dict as ``vit_block_fused``; ``act_scales`` holds the four
+    calibrated per-channel activation scale vectors (see
+    ``fold_static_scales``). All folding happens in XLA outside the
+    kernel; in-kernel quantisation is a bare round/clip/cast."""
+    B, N, C = x.shape
+    TB = tile if tile is not None else _pick_tile(B)
+    assert B % TB == 0, (B, TB)
+    bf16 = jnp.bfloat16
+    x = x.astype(bf16)
+
+    op = fold_static_scales(params, act_scales)
+    hidden = op["w1_q"].shape[1]
+
+    def vec_spec(n):
+        return pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
+
+    def mat_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    flops_mat = 2 * B * N * C * (3 * C + C + 2 * hidden) \
+        + 4 * B * N * N * C
+    kernel = functools.partial(
+        _vit_block_int8_static_kernel, num_heads=num_heads,
+        fast_gelu=fast_gelu)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), bf16),
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec(C), vec_spec(C),                          # ln1'
+            mat_spec((C, 3 * C)), vec_spec(3 * C), vec_spec(3 * C),  # qkv
+            vec_spec(C),                                       # inv_proj
+            mat_spec((C, C)), vec_spec(C), vec_spec(C),        # proj
+            vec_spec(C), vec_spec(C),                          # ln2'
+            mat_spec((C, hidden)), vec_spec(hidden), vec_spec(hidden),
+            vec_spec(hidden),                                  # inv_mlp2
+            mat_spec((hidden, C)), vec_spec(C), vec_spec(C),   # mlp out
+        ],
+        out_specs=pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TB, N, C), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mat,
+            bytes_accessed=2 * B * N * C * 2 + sum(
+                int(op[k].size) for k in ("wqkv_q", "wproj_q", "w1_q",
+                                          "w2_q")),
+            transcendentals=B * N * (hidden + N * num_heads),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        op["ln1_s"], op["ln1_b"], op["wqkv_q"], op["dqkv"], op["bqkv"],
+        op["inv_proj"], op["wproj_q"], op["dproj"], op["bproj"],
+        op["ln2_s"], op["ln2_b"], op["w1_q"], op["d1"], op["b1"],
+        op["inv_mlp2"], op["w2_q"], op["d2"], op["b2"],
+    )
+
+
+def block_int8_static_xla(x, params, act_scales, *, num_heads: int,
+                          fast_gelu: bool = False):
+    """Pure-XLA twin of ``vit_block_fused_int8_static`` — same folded
+    operands, same quantisation points and rounding order. Used by the
+    parity tests (kernel vs twin must agree exactly in interpret mode) and
+    as the CPU fallback."""
+    B, N, C = x.shape
+    H = num_heads
+    D = C // H
+    R = B * N
+    bf16 = jnp.bfloat16
+    op = fold_static_scales(params, act_scales)
+
+    def idot(q, wq):
+        return jax.lax.dot_general(
+            q, wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+
+    x = x.astype(bf16)
+    x32 = x.astype(jnp.float32).reshape(R, C)
+    qy = _quant_static(_layernorm_f32(x32, op["ln1_s"], op["ln1_b"]))
+    qkv = (idot(qy, op["wqkv_q"]) * op["dqkv"] + op["bqkv"]) \
+        .astype(bf16).reshape(B, N, 3, H, D)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    s = jnp.einsum("bnhd,bmhd->bhnm", q * jnp.asarray(D**-0.5, bf16), k,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(bf16)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p, v,
+                   preferred_element_type=jnp.float32)
+    qo = _quant_static(o.reshape(R, C) * op["inv_proj"])
+    x1 = x.reshape(R, C) + (idot(qo, op["wproj_q"]) * op["dproj"]
+                            + op["bproj"]).astype(bf16)
+    qy2 = _quant_static(_layernorm_f32(
+        x1.astype(jnp.float32), op["ln2_s"], op["ln2_b"]))
+    hmid = _gelu_mosaic(idot(qy2, op["w1_q"]) * op["d1"] + op["b1"],
+                        fast_gelu)
+    qh = _quant_static(hmid * op["inv_mlp2"])
+    out = x1 + (idot(qh, op["w2_q"]) * op["d2"] + op["b2"]).astype(bf16)
+    return out.reshape(B, N, C)
 
 
 def block_params_from_flax(block_params: dict) -> dict:

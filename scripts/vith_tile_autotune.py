@@ -60,7 +60,8 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     from hands_tpu.ops.vit_block_pallas import (vit_block_fused,
-                                                vit_block_fused_int8)
+                                                vit_block_fused_int8,
+                                                vit_block_fused_int8_static)
 
     C, heads, hidden, N = 1280, 16, 5120, 192  # ViT-H, 256x192/16
     rng = np.random.RandomState(0)
@@ -69,11 +70,27 @@ def main():
 
     import functools
 
+    # plausible calibrated scales for the static variant (value only
+    # affects clipping, not timing)
+    scales = {
+        "qkv": jnp.full((C,), 4.0 / 127),
+        "proj": jnp.full((C,), 2.0 / 127),
+        "mlp1": jnp.full((C,), 4.0 / 127),
+        "mlp2": jnp.full((hidden,), 2.0 / 127),
+    }
+
+    def static_fn(x, params, tile=None, fast_gelu=False):
+        return vit_block_fused_int8_static(
+            x, params, scales, num_heads=heads, fast_gelu=fast_gelu,
+            tile=tile)
+
     variants = {
         "bf16": functools.partial(vit_block_fused, num_heads=heads),
         "int8": functools.partial(vit_block_fused_int8, num_heads=heads),
         "int8+fast_gelu": functools.partial(
             vit_block_fused_int8, num_heads=heads, fast_gelu=True),
+        "int8_static": static_fn,
+        "int8_static+fg": functools.partial(static_fn, fast_gelu=True),
     }
     for name, fn in variants.items():
         for tb in args.tiles:
