@@ -70,6 +70,39 @@ def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = "data",
     return jax.tree.map(one, tree)
 
 
+def fsdp_tp_shardings(tree: Any, mesh: Mesh, data_axis: str = "data",
+                      model_axis: str = "model",
+                      min_shard_elems: int = MIN_SHARD_ELEMS):
+    """Hybrid ZeRO-3 x Megatron shardings over a 2-D (data, model) mesh
+    (VERDICT r3 #7: the realistic big-model layout, composed).
+
+    Per leaf: the TP rule claims its Megatron dimension first
+    (``parallel/sharding.py::vit_tp_spec`` — matched by parameter path, so
+    it applies identically to Adam ``mu``/``nu`` whose subtrees mirror the
+    param names); then the FSDP shape rule shards the largest remaining
+    dimension divisible by the data-axis size. Scalars / small leaves stay
+    replicated as in ``fsdp_spec``.
+    """
+    from hands_tpu.parallel.sharding import _path_str, vit_tp_spec
+
+    n = mesh.shape[data_axis]
+
+    def spec_for(path, x):
+        shape = getattr(x, "shape", ())
+        spec = vit_tp_spec(_path_str(path), len(shape), model_axis)
+        if n > 1 and shape and math.prod(shape) >= min_shard_elems:
+            divisible = [i for i in range(len(shape))
+                         if spec[i] is None and shape[i] % n == 0]
+            if len(shape) >= 3 and len(divisible) > 1 and 0 in divisible:
+                divisible.remove(0)  # scan depth axis, see fsdp_spec
+            if divisible:
+                best = max(divisible, key=lambda i: (shape[i], i))
+                spec[best] = data_axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
 def shard_train_state(state, mesh: Mesh, axis: str = "data"):
     """Place a ``TrainState`` with FSDP shardings (params + Adam moments
     sharded, scalars/batch_stats replicated). Works under multi-host too:

@@ -25,28 +25,35 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def vit_tp_spec(name: str, ndim: int, model_axis: str = "model"):
+    """Megatron TP spec (as a mutable list) for one named leaf: column-
+    parallel qkv / MLP-in, row-parallel attn-proj / MLP-out, None-filled
+    elsewhere. Shared by ``vit_tp_shardings`` and the FSDPxTP hybrid rule
+    (parallel/fsdp.py)."""
+    spec = [None] * ndim
+    if name.endswith("kernel"):
+        # column-parallel: split the output features
+        if "qkv" in name or "mlp/Dense_0" in name or "to_kv" in name \
+                or "to_q" in name:
+            spec[-1] = model_axis
+        # row-parallel: split the input features (partial sums ->
+        # GSPMD all-reduce after the matmul)
+        elif "attn/proj" in name or "mlp/Dense_1" in name \
+                or "to_out" in name:
+            spec[-2] = model_axis
+    elif name.endswith("bias") and (
+            "qkv" in name or "mlp/Dense_0" in name):
+        spec[-1] = model_axis
+    return spec
+
+
 def vit_tp_shardings(params: Any, mesh: Mesh, model_axis: str = "model"):
     """NamedSharding pytree for ViT params: TP on block projections,
     replication elsewhere. Handles the scan depth axis transparently (specs
     are right-aligned to the array rank)."""
 
     def spec_for(path, x) -> NamedSharding:
-        name = _path_str(path)
-        ndim = x.ndim
-        spec = [None] * ndim
-        if name.endswith("kernel"):
-            # column-parallel: split the output features
-            if "qkv" in name or "mlp/Dense_0" in name or "to_kv" in name \
-                    or "to_q" in name:
-                spec[-1] = model_axis
-            # row-parallel: split the input features (partial sums ->
-            # GSPMD all-reduce after the matmul)
-            elif "attn/proj" in name or "mlp/Dense_1" in name \
-                    or "to_out" in name:
-                spec[-2] = model_axis
-        elif name.endswith("bias") and (
-                "qkv" in name or "mlp/Dense_0" in name):
-            spec[-1] = model_axis
+        spec = vit_tp_spec(_path_str(path), x.ndim, model_axis)
         return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

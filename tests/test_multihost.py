@@ -256,3 +256,9 @@ def test_two_process_train_step_matches_single(tmp_path):
     np.testing.assert_allclose(multi["loss2"], single["loss2"], rtol=1e-4)
     # the optimiser state really advanced between the two steps
     assert multi["loss2"] != multi["loss"]
+    # FSDP under multi-host (VERDICT r3 #7): identical first-step loss with
+    # ZeRO-3-sharded state, and each host holds a strict param shard
+    np.testing.assert_allclose(multi["loss_fsdp"], multi["loss"], rtol=1e-5)
+    assert multi["fsdp_param_bytes"] < multi["total_param_bytes"]
+    np.testing.assert_allclose(single["loss_fsdp"], single["loss"],
+                               rtol=1e-5)
