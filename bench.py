@@ -97,7 +97,9 @@ def bench_model(method: str, batch_size: int, vit_variant: str = "h",
     key = jax.random.PRNGKey(0)
     inputs0, _, meta0 = pre._process(
         jax.tree.map(lambda x: x[:2], raw), key)
-    variables = model.init(jax.random.PRNGKey(0), inputs0, meta0)
+    # jit the init: unjitted flax init dispatches op-by-op through the
+    # axon tunnel (minutes for ViT-H); one compiled program is seconds
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs0, meta0)
 
     if int8_static:
         # calibrate on the same synthetic distribution the bench serves
@@ -123,6 +125,37 @@ def bench_model(method: str, batch_size: int, vit_variant: str = "h",
         fn = jax.jit(lambda v, i, m: model(v, i, m, train=False))
         dt = _time(fn, variables, inputs, meta)
     return 2 * batch_size / dt  # 2 hand crops per sample
+
+
+def bench_train_step(method: str, batch_size: int,
+                     vit_variant: str = "h") -> float:
+    """Honest train-step throughput (crops/s): the full jitted program —
+    GT processing, forward, losses, backward, clip, Adam — on a synthetic
+    batch (VERDICT r3 #5: device train numbers for every model family)."""
+    from hands_tpu.config import default_config
+    from hands_tpu.data.synthetic import make_batch
+    from hands_tpu.models.hamer_light import HamerLightModel
+    from hands_tpu.models.registry import fetch_model
+    from hands_tpu.train.state import create_train_state
+    from hands_tpu.train.step import make_train_step
+
+    cfg = default_config(
+        method if method != "hamer_vith" else "hamer_light",
+        compute_dtype="bfloat16", use_render_seg_loss=False,
+        use_grasp_loss=method == "hands_light")
+    if method == "hamer_vith":
+        model = HamerLightModel(cfg, vit_variant=vit_variant)
+    else:
+        model = fetch_model(cfg)
+    batch = make_batch(cfg, batch_size, seed=0)
+    inputs, _, meta = batch
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs, meta)
+    state = jax.device_put(create_train_state(cfg, variables))
+    step = make_train_step(model, cfg, donate=False)
+    rng = jax.random.PRNGKey(1)
+    dt = _time(lambda s, b, r: step(s, b, r)[1], state, batch, rng,
+               iters=10)
+    return 2 * batch_size / dt
 
 
 def bench_mano(batch_size: int = 1024):
@@ -298,8 +331,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="headline",
                    choices=["headline", "hands_light", "hamer_vith",
-                            "handoccnet", "mano", "preprocess",
-                            "pipeline_io"])
+                            "handoccnet", "arctic_sf_light", "mano",
+                            "preprocess", "pipeline_io"])
+    p.add_argument("--train", action="store_true",
+                   help="measure the full train step (fwd+bwd+Adam) "
+                        "instead of inference (model families only)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--packed", action="store_true",
@@ -388,6 +424,14 @@ def main():
         value = bench_preprocess(args.batch_size)
         metric = f"on-device preprocess samples/sec bs{args.batch_size}"
         unit = "samples/sec"
+    elif args.train:
+        bs = args.batch_size if args.model != "hamer_vith" else min(
+            args.batch_size, 32)
+        value = bench_train_step(args.model, bs)
+        metric = (f"{args.model} bs{bs} train-step crops/sec/chip "
+                  f"(GT processing + fwd + losses + bwd + clip + Adam, "
+                  f"bf16 compute)")
+        unit = "crops/sec"
     else:
         bs = args.batch_size if args.model != "hamer_vith" else max(
             args.batch_size, 256)

@@ -39,9 +39,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def train_cfg(**kw):
     from hands_tpu.config import default_config
 
+    # lr 3e-4 (the resnet18 learning-check value) diverges on the 630M
+    # ViT-H (measured: 321 -> 1.8e24 in 300 steps); the reference family
+    # trains ViT backbones at 1e-5-1e-4 with clipping. 1e-4 + a real
+    # grad clip memorises the synthetic batch in a few hundred steps.
     return default_config(
         "hamer_light", compute_dtype="bfloat16", use_render_seg_loss=False,
-        use_grasp_loss=False, lr=3e-4, **kw)
+        use_grasp_loss=False, lr=1e-4, grad_clip=1.0, **kw)
 
 
 def get_trained_params(args):
@@ -65,7 +69,7 @@ def get_trained_params(args):
         print(f"reloaded trained params from {ckpt_file}")
         return variables, cfg, model
 
-    variables = model.init(jax.random.PRNGKey(0), inputs, meta)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs, meta)
     state = create_train_state(cfg, variables)
     step = make_train_step(model, cfg)
     state, logs0 = step(state, batch, jax.random.PRNGKey(1))
@@ -74,6 +78,10 @@ def get_trained_params(args):
     logs = logs0
     for i in range(args.steps - 1):
         state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
+        if (i + 2) % 50 == 0:
+            li = float(logs["loss"])
+            print(f"  step {i + 2}: loss {li:.2f}", flush=True)
+            assert np.isfinite(li) and li < 1e6, f"diverged at {i + 2}: {li}"
     loss1 = float(logs["loss"])
     print(f"trained ViT-H: loss {loss0:.1f} -> {loss1:.2f} in "
           f"{args.steps} steps bs{args.bs} ({time.time() - t0:.0f}s)")
@@ -125,7 +133,7 @@ def eval_mode(tag, cfg_kw, variables, eval_batches, ref_outs=None):
         from hands_tpu.ops import calibration as calib_lib
 
         inputs0, _, meta0 = eval_batches[0]
-        slots = model.init(jax.random.PRNGKey(0), inputs0, meta0)
+        slots = jax.jit(model.init)(jax.random.PRNGKey(0), inputs0, meta0)
         merged = _merge_params(slots["params"], variables["params"])
         calib_batches = [(b[0], b[2]) for b in eval_batches]
         scales = calibrate_scales("hamer_light", {"params": merged},
