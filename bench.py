@@ -151,10 +151,19 @@ def bench_train_step(method: str, batch_size: int,
     inputs, _, meta = batch
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), inputs, meta)
     state = jax.device_put(create_train_state(cfg, variables))
-    step = make_train_step(model, cfg, donate=False)
+    # donate=True and thread the state through the timing loop — the
+    # production memory regime. donate=False keeps TWO f32 params+Adam
+    # states resident, which OOMs the 16 GB chip for ViT-H (measured).
+    step = make_train_step(model, cfg, donate=True)
     rng = jax.random.PRNGKey(1)
-    dt = _time(lambda s, b, r: step(s, b, r)[1], state, batch, rng,
-               iters=10)
+    state, _ = step(state, batch, rng)
+    _fetch_one(state.step)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _ = step(state, batch, rng)
+    _fetch_one(state.step)
+    dt = (time.perf_counter() - t0) / iters
     return 2 * batch_size / dt
 
 

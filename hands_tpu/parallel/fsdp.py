@@ -103,13 +103,12 @@ def fsdp_tp_shardings(tree: Any, mesh: Mesh, data_axis: str = "data",
     return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
-def shard_train_state(state, mesh: Mesh, axis: str = "data"):
-    """Place a ``TrainState`` with FSDP shardings (params + Adam moments
-    sharded, scalars/batch_stats replicated). Works under multi-host too:
-    each process materialises only its addressable shards
+def place_sharded(tree, shardings):
+    """Place a host-value pytree with the given sharding pytree. Works under
+    multi-host too: each process materialises only its addressable shards
     (``make_array_from_callback``; ``device_put`` cannot target
-    non-addressable devices from host values)."""
-    shardings = fsdp_shardings(state, mesh, axis)
+    non-addressable devices from host values — every process must hold the
+    identical full host value, which init-by-same-PRNGKey guarantees)."""
     if jax.process_count() > 1:
         import numpy as np
 
@@ -118,8 +117,14 @@ def shard_train_state(state, mesh: Mesh, axis: str = "data"):
             return jax.make_array_from_callback(
                 x.shape, sh, lambda idx: np.asarray(x[idx]))
 
-        return jax.tree.map(put, state, shardings)
-    return jax.device_put(state, shardings)
+        return jax.tree.map(put, tree, shardings)
+    return jax.device_put(tree, shardings)
+
+
+def shard_train_state(state, mesh: Mesh, axis: str = "data"):
+    """Place a ``TrainState`` with FSDP shardings (params + Adam moments
+    sharded, scalars/batch_stats replicated)."""
+    return place_sharded(state, fsdp_shardings(state, mesh, axis))
 
 
 def shard_bytes(tree: Any) -> int:

@@ -74,7 +74,7 @@ def main():
         use_render_seg_loss=False, use_grasp_loss=False,
         fused_block=True, quant_int8=args.int8 or args.int8_static,
         quant_int8_static=args.int8_static, fast_gelu=args.fast_gelu)
-    model = HamerLightModel(cfg, vit_variant="h")
+    model = HamerLightModel(cfg, vit_variant=args.variant)
 
     raw = example_raw_batch(cfg, args.bs, raw_hw=(224, 224))
     raw = {k: jnp.asarray(v) for k, v in raw.items()}
@@ -93,7 +93,7 @@ def main():
             ib, _, mb = pre._process(raw, jax.random.PRNGKey(b + 1))
             calib.append((ib, mb))
         scales = calibrate_scales("hamer_vith", variables, calib,
-                                  vit_variant="h")
+                                  vit_variant=args.variant)
         variables = dict(variables)
         variables["params"] = calib_lib.inject_scales(
             variables["params"], scales)

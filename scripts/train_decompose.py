@@ -55,6 +55,20 @@ def timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+def timeit_chain(fn, state, *args, iters=10):
+    """Time a state -> state update with the input state DONATED (the
+    production memory regime: one 8 GB f32 params+Adam state resident, not
+    two — without donation ViT-H OOMs the 16 GB chip, measured). The state
+    is threaded through the calls; returns (dt, final_state)."""
+    state = fn(state, *args)
+    _sync(state.step)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = fn(state, *args)
+    _sync(state.step)
+    return (time.perf_counter() - t0) / iters, state
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
@@ -107,14 +121,19 @@ def main():
     grads0 = grad(state.params, state.batch_stats, batch)
 
     # --- optimizer update only (clip + Adam + param write) ---------------
-    opt = jax.jit(lambda s, g: s.apply_gradients(g))
-    rows["opt_only"] = timeit(opt, state, grads0, iters=args.iters)
+    # donated chain: timing is value-independent, so threading the updated
+    # state through is free and keeps one optimizer state resident
+    opt = jax.jit(lambda s, g: s.apply_gradients(g), donate_argnums=(0,))
+    rows["opt_only"], state = timeit_chain(opt, state, grads0,
+                                           iters=args.iters)
+    del grads0  # 2.7 GB f32 — free before the full step's internal grads
 
-    # --- full train step (donate OFF so the state survives re-timing) ----
-    step = make_train_step(model, cfg, donate=False)
-    rows["full_step"] = timeit(
-        lambda s, b, r: step(s, b, r)[1], state, batch, rng,
+    # --- full train step (donated, the production configuration) ---------
+    step = make_train_step(model, cfg, donate=True)
+    rows["full_step"], state = timeit_chain(
+        lambda s, b, r: step(s, b, r)[0], state, batch, rng,
         iters=args.iters)
+    del state  # free params+Adam before the trunk-only section
 
     # --- trunk-level remat ablation + trunk-only fwd+bwd ------------------
     # The use_checkpoint flag is constructor-level on ViTBackbone; measure

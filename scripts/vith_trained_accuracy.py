@@ -142,10 +142,10 @@ def eval_mode(tag, cfg_kw, variables, eval_batches, ref_outs=None):
 
     state = create_train_state(cfg, mode_vars)
     eval_step = make_eval_step(model, cfg)
+    fwd = jax.jit(lambda v, i, m: model(v, i, m, train=False))
     outs = []
     for bi, batch in enumerate(eval_batches):
         metrics, _ = eval_step(state, batch)
-        fwd = jax.jit(lambda v, i, m: model(v, i, m, train=False))
         out = fwd(mode_vars, batch[0], batch[2])
         outs.append({k: np.asarray(v, np.float32)
                      for k, v in dict(out).items()

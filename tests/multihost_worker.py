@@ -109,6 +109,46 @@ def main():
         for leaf in jax.tree.leaves(variables["params"]))
     state_f, logs_f = step(state_f, gbatch, jax.random.PRNGKey(1))
 
+    # FSDP x TP composed under the process group (VERDICT r4 #8): the full
+    # stack — DCN process group x ZeRO-3 x Megatron — in one step. Mesh is
+    # (data=2, model=4): with 2 processes the data axis spans the hosts
+    # (gradient reduce-scatter + FSDP all-gathers ride the inter-process
+    # gloo link, the DCN stand-in) while the Megatron TP collectives stay
+    # within each host's 4 devices (the ICI stand-in); single-process mode
+    # runs the identical (2x4) mesh on 8 local devices for loss parity.
+    from jax.sharding import PartitionSpec as P
+
+    from hands_tpu.models.hamer_light import HamerLightModel
+    from hands_tpu.parallel.fsdp import fsdp_tp_shardings, place_sharded
+
+    cfg5 = default_config(
+        "hamer_light", compute_dtype="float32", use_grasp_loss=False,
+        use_render_seg_loss=False, batch_size=4)
+    mesh5 = make_mesh((2, 4), ("data", "model"))
+    model5 = HamerLightModel(cfg5, vit_variant="tiny")
+    HB = 4
+    batch5 = make_batch(cfg5, HB, seed=3, np_arrays=True)
+    lo5, hi5 = distributed.host_shard_range(HB)
+    inputs5, _, meta5 = make_batch(cfg5, 2, seed=3)
+    v5 = model5.init(jax.random.PRNGKey(0), inputs5, meta5)
+    state5 = create_train_state(cfg5, v5)
+    state5 = place_sharded(
+        state5, fsdp_tp_shardings(state5, mesh5, min_shard_elems=1))
+
+    def to_global5(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] != HB:
+            return distributed.make_global_array(x, mesh5, P())
+        return distributed.make_global_array(x[lo5:hi5], mesh5, P("data"))
+
+    gbatch5 = tuple({k: to_global5(v) for k, v in part.items()}
+                    for part in batch5)
+    step5 = make_train_step(model5, cfg5, donate=False)
+    with mesh5:
+        state5, logs5 = step5(state5, gbatch5, jax.random.PRNGKey(5))
+    qkv5 = state5.params["backbone"]["blocks"]["block"]["attn"]["qkv"][
+        "kernel"]
+
     result = {
         "process_count": jax.process_count(),
         "device_count": jax.device_count(),
@@ -118,6 +158,12 @@ def main():
         "loss_fsdp": float(logs_f["loss"]),
         "fsdp_param_bytes": fsdp_param_bytes,
         "total_param_bytes": total_param_bytes,
+        "loss_fsdp_tp": float(logs5["loss"]),
+        "fsdp_tp_qkv_spec": [str(s) for s in qkv5.sharding.spec],
+        "fsdp_tp_param_bytes": shard_bytes(state5.params),
+        "fsdp_tp_total_bytes": sum(
+            l.size * l.dtype.itemsize
+            for l in jax.tree.leaves(v5["params"])),
     }
     if pid == 0:
         with open(out_json, "w") as f:

@@ -29,7 +29,12 @@ def _worker_env():
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # force CPU backend
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4"
+        # both workers share the 1 core: raise the in-process communicator's
+        # rendezvous kill-switch (see conftest.py) so skew is slow, not fatal
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     env["JAX_NUM_CPU_DEVICES"] = "4"
     env["PYTHONPATH"] = "/root/repo" + (
         ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
@@ -262,3 +267,12 @@ def test_two_process_train_step_matches_single(tmp_path):
     assert multi["fsdp_param_bytes"] < multi["total_param_bytes"]
     np.testing.assert_allclose(single["loss_fsdp"], single["loss"],
                                rtol=1e-5)
+    # FSDP x TP composed under the process group (VERDICT r4 #8): the same
+    # (2x4) data-x-model HaMeR step must produce the identical loss whether
+    # the data axis spans the two processes (gloo/DCN) or stays local, the
+    # qkv kernel must really be Megatron-sharded, and each host must hold a
+    # strict shard of the hybrid-placed params
+    np.testing.assert_allclose(multi["loss_fsdp_tp"],
+                               single["loss_fsdp_tp"], rtol=1e-5)
+    assert "model" in multi["fsdp_tp_qkv_spec"], multi["fsdp_tp_qkv_spec"]
+    assert multi["fsdp_tp_param_bytes"] < multi["fsdp_tp_total_bytes"]
