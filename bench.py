@@ -340,7 +340,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="headline",
                    choices=["headline", "hands_light", "hamer_vith",
-                            "handoccnet", "arctic_sf_light", "mano",
+                            "handoccnet", "handoccnet_light",
+                            "arctic_sf_light", "mano",
                             "preprocess", "pipeline_io"])
     p.add_argument("--train", action="store_true",
                    help="measure the full train step (fwd+bwd+Adam) "
@@ -364,6 +365,8 @@ def main():
                    help="tanh-approx GELU (~1e-3 activation deviation; "
                         "stacks with --int8 for the fastest serving mode)")
     args = p.parse_args()
+    if args.model == "handoccnet":  # registry key is handoccnet_light
+        args.model = "handoccnet_light"
 
     if args.model == "headline":
         # VERDICT r2 #7: carry BOTH honest numbers — the BASELINE.json metric

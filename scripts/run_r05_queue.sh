@@ -27,8 +27,8 @@ run int8_ablation     2700 python scripts/vith_int8_ablation.py --batch 256 --it
 run train_decompose   1800 python scripts/train_decompose.py --batch 32 --iters 10
 run bench_vith_train      1500 python bench.py --model hamer_vith --train --batch_size 32
 run bench_wild_train      1500 python bench.py --model hands_light --train --batch_size 64
-run bench_hon_infer       1500 python bench.py --model handoccnet --batch_size 64
-run bench_hon_train       1500 python bench.py --model handoccnet --train --batch_size 64
+run bench_hon_infer       1500 python bench.py --model handoccnet_light --batch_size 64
+run bench_hon_train       1500 python bench.py --model handoccnet_light --train --batch_size 64
 run bench_arctic_infer    1500 python bench.py --model arctic_sf_light --batch_size 64
 run bench_arctic_train    1500 python bench.py --model arctic_sf_light --train --batch_size 64
 run export_onchip     1500 python scripts/export_onchip_check.py --bs 256 --int8_static --fast_gelu

@@ -40,12 +40,13 @@ def train_cfg(**kw):
     from hands_tpu.config import default_config
 
     # lr 3e-4 (the resnet18 learning-check value) diverges on the 630M
-    # ViT-H (measured: 321 -> 1.8e24 in 300 steps); the reference family
-    # trains ViT backbones at 1e-5-1e-4 with clipping. 1e-4 + a real
-    # grad clip memorises the synthetic batch in a few hundred steps.
+    # ViT-H (measured: 321 -> 1.8e24 in 300 steps); 1e-4 + clip 1.0 is
+    # stable but oscillates (measured r5: 321 -> 1092 -> 168 -> 371 -> 190
+    # over 300 steps — never 5x down). 5e-5 descends monotonically; the
+    # reference family trains ViT backbones at 1e-5-1e-4 with clipping.
     return default_config(
         "hamer_light", compute_dtype="bfloat16", use_render_seg_loss=False,
-        use_grasp_loss=False, lr=1e-4, grad_clip=1.0, **kw)
+        use_grasp_loss=False, lr=5e-5, grad_clip=1.0, **kw)
 
 
 def get_trained_params(args):
@@ -119,7 +120,6 @@ def eval_mode(tag, cfg_kw, variables, eval_batches, ref_outs=None):
     """Run one serving mode over the eval batches; print task metrics and
     drift vs ref_outs (the bf16 ladder rung). Returns this mode's outs."""
     from hands_tpu.models.hamer_light import HamerLightModel
-    from hands_tpu.train.metrics import eval_modules  # noqa: F401 (doc)
     from hands_tpu.train.state import create_train_state
     from hands_tpu.train.step import make_eval_step
 
