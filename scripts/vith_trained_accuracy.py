@@ -160,7 +160,7 @@ def eval_mode(tag, cfg_kw, variables, eval_batches, ref_outs=None):
             d = np.abs(outs[bi][key] - ref_outs[bi][key])
             drift = (f"  j3d drift vs bf16: mean {d.mean() * 1000:.3f} mm "
                      f"max {d.max() * 1000:.3f} mm")
-        split = "held-in " if bi == 0 else "held-out"
+        split = "eval-A  " if bi == 0 else "eval-B  "
         print(f"{tag:28s} [{split}] " + " ".join(
             f"{k}={v:.3f}" for k, v in sorted(mpjpe.items())) + drift)
     return outs
@@ -179,7 +179,9 @@ def main():
 
     variables, cfg, _ = get_trained_params(args)
 
-    # batch seed 0 = the training distribution (held-in), seed 7 = held-out
+    # NOTE: bs32 draws from seed 0 are NOT the bs16 training batch (the
+    # rng consumes different shapes), so both eval batches are held-out;
+    # the ladder measures serving-mode drift, not memorisation recall
     eval_batches = [make_batch(cfg, 32, seed=0), make_batch(cfg, 32, seed=7)]
 
     ladder = [
