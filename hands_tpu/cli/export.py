@@ -27,6 +27,13 @@ vertices/camera per hand.
 Serving knobs (``--int8``/``--fast_gelu``/``--fused_block``) bake the
 fused-block Pallas kernels into the artifact; these lower only for
 ``--platform tpu`` (Mosaic custom calls have no CPU lowering).
+
+``--params_args`` switches to the big-model layout: the module takes the
+weights as ARGUMENTS and the artifact is ``{module.hlo, module.hlo.params
+.npz, module.hlo.json}`` — a constants-baked ViT-H module is ~2.7 GB of
+program and chokes XLA ingestion (measured: the remote-compile transport
+breaks, logs/r05/export_onchip.log); the args-mode module is a few MB and
+the weights load once at startup (needs flax for the msgpack restore).
 """
 
 from __future__ import annotations
@@ -60,6 +67,35 @@ def build_serving_fn(cfg, model, variables):
     return serve
 
 
+def build_serving_fn_params_arg(cfg, model):
+    """Like ``build_serving_fn`` but the exported module takes
+    ``(variables, raw)`` as ARGUMENTS instead of baking the weights in as
+    constants.
+
+    Why both modes exist: constants-baked is the zero-plumbing small-model
+    artifact, but for ViT-H the baked module carries ~2.7 GB of f32
+    weights — XLA must ingest a multi-GB program (and this environment's
+    remote-compile transport breaks outright: 'Broken pipe', measured,
+    logs/r05/export_onchip.log). Params-as-args keeps the module a few MB;
+    the weights travel in a sidecar ``.params.npz`` (flax msgpack) loaded
+    once at serving startup — the standard big-model serving layout.
+    """
+    import jax
+
+    from hands_tpu.data.device_pipeline import DevicePreprocessor
+
+    pre = DevicePreprocessor(cfg, is_train=False)
+    key = jax.random.PRNGKey(0)
+
+    def serve(variables, raw: dict) -> dict:
+        inputs, _, meta = pre._process(raw, key)
+        pred = model(variables, inputs, meta, train=False)
+        return {k: v for k, v in dict(pred).items()
+                if hasattr(v, "shape") and hasattr(v, "dtype")}
+
+    return serve
+
+
 def example_raw_batch(cfg, batch_size: int, raw_hw):
     """A representative stacked raw batch fixing the artifact's shapes."""
     from hands_tpu.data.datasets import SyntheticRecordDataset
@@ -73,17 +109,25 @@ def example_raw_batch(cfg, batch_size: int, raw_hw):
 
 
 def export_serving(cfg, model, variables, batch_size: int,
-                   raw_hw=(840, 600), platforms=None):
-    """Export the fused serving program; returns ``jax.export.Exported``."""
+                   raw_hw=(840, 600), platforms=None,
+                   params_as_args: bool = False):
+    """Export the fused serving program; returns ``jax.export.Exported``.
+
+    ``params_as_args=True`` exports the 2-argument ``serve(variables,
+    raw)`` module (see ``build_serving_fn_params_arg``); the caller is
+    responsible for shipping the weights alongside."""
     import jax
     from jax import export as jexport
 
-    serve = build_serving_fn(cfg, model, variables)
     raw = example_raw_batch(cfg, batch_size, raw_hw)
     raw = {k: jax.numpy.asarray(v) for k, v in raw.items()}
-    exp = jexport.export(jax.jit(serve),
-                         platforms=list(platforms) if platforms else None)(
-        raw)
+    plat = list(platforms) if platforms else None
+    if params_as_args:
+        serve = build_serving_fn_params_arg(cfg, model)
+        exp = jexport.export(jax.jit(serve), platforms=plat)(variables, raw)
+    else:
+        serve = build_serving_fn(cfg, model, variables)
+        exp = jexport.export(jax.jit(serve), platforms=plat)(raw)
     return exp, raw
 
 
@@ -104,7 +148,16 @@ def run_artifact(path: str):
         k: jnp.zeros(tuple(spec["shape"]), spec["dtype"])
         for k, spec in sidecar["input_spec"].items()
     }
-    out = exp.call(raw)
+    if sidecar.get("params_file"):
+        import flax
+
+        pf = os.path.join(os.path.dirname(os.path.abspath(path)),
+                          sidecar["params_file"])
+        with open(pf, "rb") as f:
+            variables = flax.serialization.msgpack_restore(f.read())
+        out = exp.call(variables, raw)
+    else:
+        out = exp.call(raw)
     for k in sorted(out):
         v = np.asarray(out[k])
         print(f"  {k}: {v.shape} {v.dtype} finite={np.isfinite(v).all()}")
@@ -132,6 +185,11 @@ def main(argv=None):
     p.add_argument("--fused_block", action="store_true")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--fast_gelu", action="store_true")
+    p.add_argument("--params_args", action="store_true",
+                   help="export weights as module ARGUMENTS with a "
+                        ".params.npz sidecar instead of baked constants "
+                        "(required for ViT-H-sized models: a multi-GB "
+                        "constants-baked module chokes XLA ingestion)")
     p.add_argument("-o", "--out", default="serving.hlo")
     p.add_argument("--run", default="",
                    help="instead of exporting: deserialize + execute the "
@@ -173,10 +231,23 @@ def main(argv=None):
         variables = load_checkpoint_variables(variables, args.ckpt)
 
     exp, example = export_serving(cfg, model, variables, args.batch_size,
-                                  raw_hw, args.platform)
+                                  raw_hw, args.platform,
+                                  params_as_args=args.params_args)
     blob = exp.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
+    params_file = ""
+    if args.params_args:
+        import flax
+
+        params_file = os.path.basename(args.out) + ".params.npz"
+        pf = os.path.join(os.path.dirname(os.path.abspath(args.out)),
+                          params_file)
+        import jax as _jax
+
+        with open(pf, "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(
+                _jax.device_get(variables)))
     sidecar = {
         "method": args.method,
         "batch_size": args.batch_size,
@@ -187,6 +258,7 @@ def main(argv=None):
         "quant_int8": args.int8,
         "fast_gelu": args.fast_gelu,
         "ckpt": args.ckpt,
+        "params_file": params_file,
         "input_spec": {
             k: {"shape": list(v.shape), "dtype": str(v.dtype)}
             for k, v in example.items()

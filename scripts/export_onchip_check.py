@@ -58,13 +58,19 @@ def main():
     p.add_argument("--int8_static", action="store_true")
     p.add_argument("--fast_gelu", action="store_true")
     p.add_argument("--out", default="/tmp/hands_tpu_serving_vith.hlo")
+    p.add_argument("--params_args", action="store_true",
+                   help="weights-as-arguments artifact (required at ViT-H "
+                        "size: the constants-baked module is ~2.7 GB and "
+                        "breaks the compile transport — measured)")
     args = p.parse_args()
     print("devices:", jax.devices(), flush=True)
 
     from jax import export as jexport
 
     from bench import bench_model  # noqa: F401 (shares calibration flow)
-    from hands_tpu.cli.export import build_serving_fn, example_raw_batch
+    from hands_tpu.cli.export import (build_serving_fn,
+                                      build_serving_fn_params_arg,
+                                      example_raw_batch)
     from hands_tpu.config import default_config
     from hands_tpu.data.device_pipeline import DevicePreprocessor
     from hands_tpu.models.hamer_light import HamerLightModel
@@ -98,17 +104,23 @@ def main():
         variables["params"] = calib_lib.inject_scales(
             variables["params"], scales)
 
-    serve = build_serving_fn(cfg, model, variables)
+    if args.params_args:
+        serve2 = build_serving_fn_params_arg(cfg, model)
+        live = jax.jit(serve2)
+        live_args = (variables, raw)
+    else:
+        serve = build_serving_fn(cfg, model, variables)
+        live = jax.jit(serve)
+        live_args = (raw,)
 
     # --- live program ------------------------------------------------------
-    live = jax.jit(serve)
-    live_out = live(raw)
-    dt_live = timeit(live, raw, iters=args.iters)
+    live_out = live(*live_args)
+    dt_live = timeit(live, *live_args, iters=args.iters)
     print(f"live jit     : {dt_live*1e3:8.1f} ms  "
           f"{2*args.bs/dt_live:7.1f} crops/s", flush=True)
 
     # --- export -> serialize -> deserialize -> execute ---------------------
-    exp = jexport.export(jax.jit(serve))(raw)
+    exp = jexport.export(live)(*live_args)
     blob = exp.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -117,8 +129,8 @@ def main():
     with open(args.out, "rb") as f:
         exp2 = jexport.deserialize(f.read())
 
-    art_out = exp2.call(raw)
-    dt_art = timeit(exp2.call, raw, iters=args.iters)
+    art_out = exp2.call(*live_args)
+    dt_art = timeit(exp2.call, *live_args, iters=args.iters)
     print(f"artifact call: {dt_art*1e3:8.1f} ms  "
           f"{2*args.bs/dt_art:7.1f} crops/s  "
           f"({dt_live/dt_art*100:.1f}% of live speed)", flush=True)

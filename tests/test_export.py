@@ -70,6 +70,58 @@ def test_export_targets_tpu_from_cpu_host():
     assert len(blob) > 1000  # weights are baked in
 
 
+def test_export_params_args_round_trip():
+    """The big-model layout (weights as module ARGUMENTS, not baked
+    constants — required at ViT-H size where the baked module is ~2.7 GB):
+    same outputs as the constants-baked artifact, much smaller module."""
+    from jax import export as jexport
+
+    from hands_tpu.cli.export import export_serving
+
+    cfg, model, variables, raw, serve = _tiny_setup()
+    direct = jax.jit(serve)(raw)
+
+    exp, _ = export_serving(cfg, model, variables, 2, (64, 48),
+                            platforms=["cpu"], params_as_args=True)
+    baked, _ = export_serving(cfg, model, variables, 2, (64, 48),
+                              platforms=["cpu"])
+    # the whole point: the args-mode module does not carry the weights
+    assert len(exp.serialize()) < len(baked.serialize()) / 10
+
+    exp2 = jexport.deserialize(exp.serialize())
+    out = exp2.call(variables, raw)
+    assert set(out) == set(direct)
+    for k in direct:
+        # args-mode is a DIFFERENT compiled program than the baked jit
+        # (no constant folding of the weights), so exact-schedule parity
+        # does not hold; measured worst case is a handful of elements at
+        # ~1e-5 relative (f32)
+        np.testing.assert_allclose(np.asarray(out[k]),
+                                   np.asarray(direct[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(k))
+
+
+def test_export_cli_params_args(tmp_path, capsys):
+    """CLI end to end in args mode: artifact + .params.npz sidecar written,
+    --run restores the weights and executes."""
+    from hands_tpu.cli.export import main
+
+    art = str(tmp_path / "serving.hlo")
+    rc = main(["--method", "arctic_sf_light", "--backbone", "resnet18",
+               "--dtype", "float32", "--batch_size", "2",
+               "--raw_hw", "64x48", "--platform", "cpu", "-o", art,
+               "--params_args"])
+    assert rc == 0
+    sidecar = json.loads((tmp_path / "serving.hlo.json").read_text())
+    assert sidecar["params_file"] == "serving.hlo.params.npz"
+    assert (tmp_path / "serving.hlo.params.npz").stat().st_size > 1000
+
+    rc = main(["--run", art])
+    assert rc == 0
+    msgs = capsys.readouterr().out
+    assert "finite=True" in msgs
+
+
 def test_export_cli_smoke(tmp_path, capsys):
     from hands_tpu.cli.export import main
 
