@@ -125,6 +125,31 @@ def main():
         "hamer_light", compute_dtype="float32", use_grasp_loss=False,
         use_render_seg_loss=False, batch_size=4)
     mesh5 = make_mesh((2, 4), ("data", "model"))
+
+    # Same 30s-rendezvous guard as the 1-D probe above, but for the NEW
+    # gloo contexts this 2-D mesh needs: collectives over the data axis
+    # run in cross-process PAIR groups ({0,4},{1,5},...), each of which
+    # initialises its own context on first use — if that first use is
+    # inside the minutes-long train program, the two processes can reach
+    # it >30s apart (observed: "Gloo context initialization failed:
+    # GetKeyValue() timed out"). Touch the pair groups and the full group
+    # with trivial psums first; contexts are keyed by ranks and reused.
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding
+
+    ones5 = np.ones((2, 4), np.float32)
+    probe5 = jax.make_array_from_callback(
+        (2, 4), NamedSharding(mesh5, P("data", "model")),
+        lambda idx: ones5[idx])
+    pair_sum = jax.jit(shard_map(
+        lambda x: jax.lax.psum(x, "data"), mesh=mesh5,
+        in_specs=P("data", "model"), out_specs=P(None, "model")))
+    full_sum = jax.jit(shard_map(
+        lambda x: jax.lax.psum(x, ("data", "model")), mesh=mesh5,
+        in_specs=P("data", "model"), out_specs=P(None, None)))
+    assert float(np.asarray(pair_sum(probe5))[0, 0]) == 2.0
+    assert float(np.asarray(full_sum(probe5))[0, 0]) == 8.0
+
     model5 = HamerLightModel(cfg5, vit_variant="tiny")
     HB = 4
     batch5 = make_batch(cfg5, HB, seed=3, np_arrays=True)
